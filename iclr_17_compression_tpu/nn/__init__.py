@@ -1,0 +1,31 @@
+from .layers import (
+    TorchConv,
+    TorchConvTranspose,
+    MaskedConv,
+    GDN,
+    BitEstimator,
+    torch_conv_default_init,
+    xavier_normal_gain,
+)
+from .blocks import (
+    ResidualBlock,
+    ResidualBlockWithStride,
+    ResidualBlockUpsample,
+    AttentionBlock,
+    SubpelConv,
+)
+
+__all__ = [
+    "TorchConv",
+    "TorchConvTranspose",
+    "MaskedConv",
+    "GDN",
+    "BitEstimator",
+    "torch_conv_default_init",
+    "xavier_normal_gain",
+    "ResidualBlock",
+    "ResidualBlockWithStride",
+    "ResidualBlockUpsample",
+    "AttentionBlock",
+    "SubpelConv",
+]

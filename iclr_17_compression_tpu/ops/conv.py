@@ -1,0 +1,234 @@
+"""Torch-parity convolution wrappers in TPU-native NHWC layout.
+
+The reference builds every transform out of ``nn.Conv2d(k, stride=s,
+padding=p)`` and ``nn.ConvTranspose2d(k, stride=s, padding=p,
+output_padding=op)`` (e.g. reference models/analysis_17.py:14-22,
+models/synthesis_17.py:15-23). These wrappers reproduce the exact output
+shapes and phases so that PyTorch checkpoints imported into this framework
+produce bit-matching activations, while lowering to a single
+``lax.conv_general_dilated`` each — the op XLA tiles straight onto the MXU.
+
+Layouts:
+  activations : NHWC
+  conv weight : HWIO  (kh, kw, in_ch, out_ch)
+  deconv weight: HWOI viewed as HWIO after flip+swap — we store deconv
+                 weights already converted to the equivalent-forward-conv
+                 HWIO layout (kh, kw, in_ch_of_equiv_conv=orig_in,
+                 out_ch) with kernel pre-flipped, see
+                 ``torch_deconv_weight_to_hwio`` in train/torch_import.py.
+
+ConvTranspose equivalence (exact, incl. output_padding):
+  PyTorch ConvTranspose2d(C_in→C_out, k, s, p, op) on input x equals a
+  forward convolution of the ``s``-dilated input with the spatially-flipped
+  kernel (with in/out channel axes swapped), using asymmetric padding
+  ``(k-1-p, k-1-p+op)`` per spatial dim and stride 1. Output size:
+  (H-1)*s - 2p + k + op, matching torch.
+"""
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .precision import get_precision
+
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _pair(v: Union[int, Sequence[int]]) -> Tuple[int, int]:
+    if isinstance(v, int):
+        return (v, v)
+    a, b = v
+    return (int(a), int(b))
+
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride: Union[int, Sequence[int]] = 1,
+    padding: Union[int, Sequence[int]] = 0,
+    dilation: Union[int, Sequence[int]] = 1,
+    groups: int = 1,
+    precision=None,
+) -> jax.Array:
+    """NHWC conv with torch ``nn.Conv2d`` shape semantics.
+
+    x: (N, H, W, Cin); w: (kh, kw, Cin/groups, Cout); b: (Cout,) or None.
+    precision: see ops.precision (per-op arg required on this TPU backend).
+    """
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    dh, dw = _pair(dilation)
+    out = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(sh, sw),
+        padding=((ph, ph), (pw, pw)),
+        rhs_dilation=(dh, dw),
+        dimension_numbers=_DIMNUMS,
+        feature_group_count=groups,
+        precision=get_precision(precision),
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def conv_transpose2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride: Union[int, Sequence[int]] = 1,
+    padding: Union[int, Sequence[int]] = 0,
+    output_padding: Union[int, Sequence[int]] = 0,
+    precision=None,
+) -> jax.Array:
+    """NHWC transposed conv with torch ``nn.ConvTranspose2d`` shape semantics.
+
+    ``w`` must already be in equivalent-forward-conv HWIO layout
+    (kh, kw, Cin, Cout) and spatially flipped relative to the torch
+    parameterization (handled by initializers / the torch importer).
+    Output spatial size: (H-1)*s - 2p + k + op.
+
+    Implementation: **phase decomposition** — the stride-s transposed conv is
+    computed as s_h*s_w dense stride-1 convs over the small input (one per
+    output phase) whose results are interleaved (inverse pixel-shuffle).
+    This is the MXU-optimal formulation (no zero-stuffed input, every MAC is
+    a real tap) and sidesteps the lhs_dilation path entirely (which this
+    environment's TPU backend miscompiles for stride 4 — verified 152% error
+    vs CPU; the phase form is exact). Falls back to lhs_dilation only when
+    the output length is not divisible by the stride.
+    """
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    oph, opw = _pair(output_padding)
+    kh, kw = w.shape[0], w.shape[1]
+    n, h, win, cin = x.shape
+
+    h_out = (h - 1) * sh - 2 * ph + kh + oph
+    w_out = (win - 1) * sw - 2 * pw + kw + opw
+
+    if sh == 1 and sw == 1:
+        out = lax.conv_general_dilated(
+            x, w, (1, 1),
+            padding=((kh - 1 - ph, kh - 1 - ph + oph),
+                     (kw - 1 - pw, kw - 1 - pw + opw)),
+            dimension_numbers=_DIMNUMS,
+            precision=get_precision(precision),
+        )
+    elif h_out % sh == 0 and w_out % sw == 0:
+        out = _conv_transpose_phases(
+            x, w, (sh, sw), (ph, pw), (h_out, w_out), get_precision(precision)
+        )
+    else:
+        out = lax.conv_general_dilated(
+            x, w, (1, 1),
+            padding=((kh - 1 - ph, kh - 1 - ph + oph),
+                     (kw - 1 - pw, kw - 1 - pw + opw)),
+            lhs_dilation=(sh, sw),
+            dimension_numbers=_DIMNUMS,
+            precision=get_precision(precision),
+        )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def _phase_taps(r: int, s: int, k: int, p: int):
+    """Kernel taps contributing to output phase r (output index oh = q*s + r):
+    y[oh] = sum_m w[m] * xpad[oh + m] with xpad = x upsampled by s and
+    shifted by P = k-1-p; tap m hits input index t = (r + m - P)/s when the
+    division is exact. Returns (t_min, [m values ordered by t])."""
+    big_p = k - 1 - p
+    ms = [m for m in range(k) if (r + m - big_p) % s == 0]
+    ts = [(r + m - big_p) // s for m in ms]
+    order = sorted(range(len(ms)), key=lambda i: ts[i])
+    return [ts[i] for i in order], [ms[i] for i in order]
+
+
+def _conv_transpose_phases(x, w, strides, pads, out_hw, precision):
+    sh, sw = strides
+    ph, pw = pads
+    h_out, w_out = out_hw
+    kh, kw = w.shape[0], w.shape[1]
+    n, h, win, cin = x.shape
+    hq, wq = h_out // sh, w_out // sw
+
+    # Gather per-phase tap lists and the global input-padding extents.
+    phases_h = [_phase_taps(r, sh, kh, ph) for r in range(sh)]
+    phases_w = [_phase_taps(r, sw, kw, pw) for r in range(sw)]
+    t_lo_h = min((t[0][0] for t in phases_h if t[0]), default=0)
+    t_hi_h = max((t[0][-1] + (hq - 1) for t in phases_h if t[0]), default=h - 1)
+    t_lo_w = min((t[0][0] for t in phases_w if t[0]), default=0)
+    t_hi_w = max((t[0][-1] + (wq - 1) for t in phases_w if t[0]), default=win - 1)
+    pad_l_h, pad_r_h = max(0, -t_lo_h), max(0, t_hi_h - (h - 1))
+    pad_l_w, pad_r_w = max(0, -t_lo_w), max(0, t_hi_w - (win - 1))
+    xp = jnp.pad(x, ((0, 0), (pad_l_h, pad_r_h), (pad_l_w, pad_r_w), (0, 0)))
+
+    rows = []
+    for rh in range(sh):
+        ts_h, ms_h = phases_h[rh]
+        cols = []
+        for rw in range(sw):
+            ts_w, ms_w = phases_w[rw]
+            if not ts_h or not ts_w:
+                cols.append(jnp.zeros((n, hq, wq, w.shape[3]), x.dtype))
+                continue
+            # sub-kernel: taps (ms_h × ms_w), contiguous in t-order
+            sub_w = w[jnp.asarray(ms_h)][:, jnp.asarray(ms_w)]
+            oh0 = ts_h[0] + pad_l_h
+            ow0 = ts_w[0] + pad_l_w
+            x_slice = lax.dynamic_slice(
+                xp,
+                (0, oh0, ow0, 0),
+                (n, hq - 1 + len(ts_h), wq - 1 + len(ts_w), cin),
+            )
+            cols.append(
+                lax.conv_general_dilated(
+                    x_slice, sub_w, (1, 1), "VALID",
+                    rhs_dilation=(
+                        (ts_h[1] - ts_h[0]) if len(ts_h) > 1 else 1,
+                        (ts_w[1] - ts_w[0]) if len(ts_w) > 1 else 1,
+                    ),
+                    dimension_numbers=_DIMNUMS,
+                    precision=precision,
+                )
+            )
+        rows.append(jnp.stack(cols, axis=3))  # (n, hq, wq, sw, cout)
+    out = jnp.stack(rows, axis=2)  # (n, hq, sh, wq, sw, cout)
+    return out.reshape(n, h_out, w_out, w.shape[3])
+
+
+def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
+    """NHWC PixelShuffle matching torch ``nn.PixelShuffle`` channel order.
+
+    torch operates on NCHW with C = C_out * r * r laid out as
+    (c_out, r_h, r_w); after NCHW→NHWC conversion the channel axis keeps that
+    ordering, so: (N, H, W, Cout*r*r) → (N, H*r, W*r, Cout).
+    (Used by subpel_conv3x3; reference models/layers_GELU.py:70-74.)
+    """
+    n, h, w, c = x.shape
+    if r == 1:
+        return x
+    cout = c // (r * r)
+    x = x.reshape(n, h, w, cout, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # n, h, r_h, w, r_w, cout
+    return x.reshape(n, h * r, w * r, cout)
+
+
+def avg_pool2d(x: jax.Array, k: int = 2, stride: int | None = None) -> jax.Array:
+    """NHWC average pool with torch default semantics (floor, no padding)."""
+    s = k if stride is None else stride
+    out = lax.reduce_window(
+        x,
+        0.0,
+        lax.add,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, s, s, 1),
+        padding="VALID",
+    )
+    return out / (k * k)

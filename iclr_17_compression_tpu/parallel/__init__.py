@@ -1,0 +1,18 @@
+from .mesh import make_mesh, batch_sharding, tile_sharding, replicated
+from .tiled import (
+    TiledStreams,
+    make_tiled_codec,
+    encode_tiles_to_streams,
+    decode_streams_to_code,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "tile_sharding",
+    "replicated",
+    "TiledStreams",
+    "make_tiled_codec",
+    "encode_tiles_to_streams",
+    "decode_streams_to_code",
+]

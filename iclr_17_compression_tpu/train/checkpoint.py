@@ -1,0 +1,80 @@
+"""Checkpoint save/restore.
+
+Reference parity targets (SURVEY.md §5): (a) bare params snapshots
+``iter_N.ckpt`` with partial-key load (reference model.py:18-35), and (b)
+rich checkpoints carrying optimizer state, step, epoch, loss and data-iter
+seed (reference train_2StepsNet.py:204-220), plus best-train/best-val files.
+
+Format: flax.serialization msgpack for the pytree + JSON sidecar for
+metadata. No external deps; works from any host.
+"""
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+from flax import serialization
+
+
+def save_params(params, directory: str, step: int, prefix: str = "iter") -> str:
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"{prefix}_{step}.ckpt")
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+    return path
+
+
+def load_params(template, path: str):
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def save_train_state(
+    state,
+    directory: str,
+    name: str,
+    epoch: int = 0,
+    loss: float = 0.0,
+    extra: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Rich checkpoint: full TrainState + metadata sidecar."""
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"{name}.ckpt")
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(state))
+    meta = {"epoch": epoch, "loss": loss, "step": int(state.step)}
+    if extra:
+        meta.update(extra)
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f)
+    return path
+
+
+def load_train_state(state_template, path: str) -> Tuple[Any, Dict[str, Any]]:
+    with open(path, "rb") as f:
+        state = serialization.from_bytes(state_template, f.read())
+    meta = {}
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            meta = json.load(f)
+    return state, meta
+
+
+def step_from_filename(path: str) -> int:
+    """Parse global step from 'iter_<N>.ckpt' (the reference had this but
+    disabled it, model.py:30-35)."""
+    m = re.search(r"iter_(\d+)\.ckpt$", path)
+    return int(m.group(1)) if m else 0
+
+
+def latest_checkpoint(directory: str, prefix: str = "iter") -> Optional[str]:
+    if not os.path.isdir(directory):
+        return None
+    best, best_step = None, -1
+    for f in os.listdir(directory):
+        m = re.match(rf"{prefix}_(\d+)\.ckpt$", f)
+        if m and int(m.group(1)) > best_step:
+            best, best_step = os.path.join(directory, f), int(m.group(1))
+    return best

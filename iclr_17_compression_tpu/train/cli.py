@@ -1,0 +1,198 @@
+"""Training CLI — the single configurable entry point.
+
+Replaces the reference's 10 trainer scripts with one driver:
+
+  python -m iclr_17_compression_tpu.train.cli \
+      --config examples/balle17.json --name run1 [--pretrain ckpt]
+
+Reference parity: argparse flags -n/-p/--config/--seed (train.py:30-39),
+JSON config schema (train.py:41-66), step-decay LR + warmup (train.py:69-81),
+rd_loss = λ·mse + bpp (train.py:100-102), elementwise grad clamp ±5
+(train.py:106-111), periodic Kodak eval + checkpointing (train.py:150-153),
+windowed meters + logging (train.py:114-149). DSC variants select via
+``model: "dsc:<preset>"`` with the train_2StepsNet loop shape (best-loss
+checkpointing + plateau LR, train_2StepsNet.py:112-256).
+"""
+
+import argparse
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import ImageFolderDataset, KodakDataset, StereoKittiDataset, batch_iterator
+from ..eval.kodak import eval_kodak
+from .checkpoint import save_params, save_train_state
+from .config import TrainConfig
+from .meters import AverageMeter
+from .schedules import ReduceLROnPlateau, step_decay_schedule
+from .state import (
+    build_model,
+    create_train_state,
+    make_balle17_train_step,
+    make_dsc_train_step,
+    make_hyperprior_train_step,
+)
+
+logger = logging.getLogger("iclr17c")
+
+
+def setup_logging(name: str, save_dir: str):
+    os.makedirs(save_dir, exist_ok=True)
+    logger.setLevel(logging.INFO)
+    fmt = logging.Formatter("[%(asctime)s][%(levelname)s] %(message)s")
+    fh = logging.FileHandler(os.path.join(save_dir, "train.log"))
+    fh.setFormatter(fmt)
+    sh = logging.StreamHandler()
+    sh.setFormatter(fmt)
+    logger.addHandler(fh)
+    logger.addHandler(sh)
+
+
+def train_single_image(cfg: TrainConfig, name: str, pretrain: str = ""):
+    """Ballé-17 / hyperprior training loop (reference train.py shape)."""
+    save_dir = os.path.join("checkpoints", name)
+    setup_logging(name, save_dir)
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    model = build_model(
+        cfg.model,
+        out_channel_n=cfg.out_channel_n,
+        out_channel_m=cfg.out_channel_m,
+        quant=cfg.quant,
+    )
+    example = jnp.zeros((cfg.batch_size, cfg.image_size, cfg.image_size, 3))
+    lr = step_decay_schedule(
+        cfg.lr_base, cfg.lr_decay, cfg.lr_decay_interval, cfg.warmup_step
+    )
+    state = create_train_state(model, rng, (example,), lr=lr, grad_clip=cfg.grad_clip)
+    if pretrain:
+        from .checkpoint import load_params
+
+        state = state.replace(params=load_params(state.params, pretrain))
+        logger.info("loaded pretrain %s", pretrain)
+
+    if cfg.model == "balle17":
+        step_fn = jax.jit(make_balle17_train_step(cfg.train_lambda))
+    else:
+        step_fn = jax.jit(make_hyperprior_train_step(cfg.train_lambda))
+
+    dataset = ImageFolderDataset(cfg.train_dir, cfg.image_size, cfg.seed)
+    test_set = KodakDataset(cfg.test_dir) if cfg.test_dir else None
+
+    meters = {k: AverageMeter(cfg.print_freq) for k in ("rd_loss", "mse", "bpp", "psnr")}
+    global_step = int(state.step)
+    t_last = time.time()
+    for epoch in range(cfg.tot_epoch):
+        for batch in batch_iterator(dataset, cfg.batch_size, seed=cfg.seed + epoch):
+            rng = jax.random.fold_in(rng, global_step)
+            state, metrics = step_fn(state, jnp.asarray(batch), rng)
+            global_step += 1
+            if global_step % cfg.cal_step == 0:
+                for k in meters:
+                    if k in metrics:
+                        meters[k].update(float(metrics[k]))
+            if global_step % cfg.print_freq == 0:
+                dt = time.time() - t_last
+                t_last = time.time()
+                logger.info(
+                    "step %d | %s | %.1f img/s",
+                    global_step,
+                    " ".join(f"{k}={m.avg:.5f}" for k, m in meters.items()),
+                    cfg.print_freq * cfg.batch_size / max(dt, 1e-9),
+                )
+            if global_step % cfg.save_model_freq == 0:
+                save_params(state.params, save_dir, global_step)
+                if test_set is not None:
+                    res = eval_kodak(model, {"params": state.params}, list(test_set))
+                    logger.info(
+                        "KODAK step %d: bpp=%.4f psnr=%.3f msssim=%.5f (%.3f dB)",
+                        global_step, res["bpp"], res["psnr"],
+                        res["ms_ssim"], res["ms_ssim_db"],
+                    )
+            if global_step >= cfg.tot_step:
+                save_params(state.params, save_dir, global_step)
+                return state
+    save_params(state.params, save_dir, global_step)
+    return state
+
+
+def train_dsc(cfg: TrainConfig, name: str, pretrain: str = ""):
+    """DSC stereo training loop (reference train_2StepsNet.py shape)."""
+    save_dir = os.path.join("checkpoints", name)
+    setup_logging(name, save_dir)
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    model = build_model(cfg.model, loss=cfg.loss)
+    hw = (cfg.image_size // 32) * 32
+    example = (
+        jnp.zeros((cfg.batch_size, hw, hw, 3)),
+        jnp.zeros((cfg.batch_size, hw, hw, 3)),
+    )
+    plateau = ReduceLROnPlateau(base_lr=cfg.lr_base)
+    # injectable LR via schedule closure over a mutable cell
+    lr_cell = {"lr": cfg.lr_base}
+    state = create_train_state(
+        model, rng, example, lr=lambda step: lr_cell["lr"], grad_clip=cfg.grad_clip
+    )
+    step_fn = jax.jit(make_dsc_train_step())
+
+    dataset = StereoKittiDataset(
+        cfg.train_dir.split(","), train=True, seed=cfg.seed
+    )
+    best_loss = float("inf")
+    global_step = int(state.step)
+    for epoch in range(cfg.tot_epoch):
+        epoch_loss, n_batches = 0.0, 0
+        for im1, im2 in batch_iterator(dataset, cfg.batch_size, seed=cfg.seed + epoch):
+            rng = jax.random.fold_in(rng, global_step)
+            state, metrics = step_fn(state, jnp.asarray(im1), jnp.asarray(im2), rng)
+            global_step += 1
+            epoch_loss += float(metrics["loss"])
+            n_batches += 1
+            if global_step % cfg.print_freq == 0:
+                logger.info(
+                    "epoch %d step %d | %s",
+                    epoch, global_step,
+                    " ".join(f"{k}={float(v):.5f}" for k, v in metrics.items()),
+                )
+        epoch_loss /= max(n_batches, 1)
+        lr_cell["lr"] = plateau.step(epoch_loss)
+        if epoch_loss < best_loss:
+            best_loss = epoch_loss
+            save_train_state(state, save_dir, "best_train", epoch, epoch_loss)
+        if epoch % 10 == 0:
+            save_train_state(state, save_dir, f"epoch_{epoch}", epoch, epoch_loss)
+        logger.info("epoch %d done: loss=%.5f lr=%.2e", epoch, epoch_loss, lr_cell["lr"])
+    return state
+
+
+def main():
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    ap = argparse.ArgumentParser(description="TPU-native codec trainer")
+    ap.add_argument("-n", "--name", default="run", help="experiment name")
+    ap.add_argument("-p", "--pretrain", default="", help="pretrained ckpt path")
+    ap.add_argument("--config", default="", help="JSON config")
+    ap.add_argument("--seed", type=int, default=None)
+    args = ap.parse_args()
+
+    cfg = TrainConfig.from_json(args.config) if args.config else TrainConfig()
+    if args.seed is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, seed=args.seed)
+    np.random.seed(cfg.seed)
+
+    if cfg.model.startswith("dsc:"):
+        train_dsc(cfg, args.name, args.pretrain)
+    else:
+        train_single_image(cfg, args.name, args.pretrain)
+
+
+if __name__ == "__main__":
+    main()
