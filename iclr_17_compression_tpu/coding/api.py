@@ -57,6 +57,20 @@ def _get_lib():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.rans_dec_create.restype = ctypes.c_void_p
+    lib.rans_dec_create.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.rans_dec_step.restype = ctypes.c_int
+    lib.rans_dec_step.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.rans_dec_free.restype = None
+    lib.rans_dec_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -150,6 +164,60 @@ class RansCodec:
         if rc != 0:
             raise RuntimeError("rANS decode failed")
         return sym + self.offset
+
+
+class StreamingDecoder:
+    """Stateful rANS decoder over a codec's tables.
+
+    The autoregressive codec (models/cheng2020.py) cannot know all table ids
+    up front — symbol i's Gaussian scale index is computed from symbols < i.
+    ``step(table_ids)`` decodes the next ``len(table_ids)`` symbols in forward
+    order. Must be used as a context manager or ``close()``d."""
+
+    def __init__(self, codec: "RansCodec", stream: bytes):
+        lib = _get_lib()
+        buf = np.frombuffer(stream, np.uint8)
+        self._codec = codec
+        self._lib = lib
+        self._handle = lib.rans_dec_create(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            buf.size,
+            codec.freqs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            codec.cums.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            codec.nsym, codec.ntables, codec.scale_bits,
+        )
+        if not self._handle:
+            raise RuntimeError("rANS streaming-decoder create failed")
+
+    def step(self, table_ids: np.ndarray) -> np.ndarray:
+        tid = np.ascontiguousarray(np.asarray(table_ids).reshape(-1), np.int32)
+        sym = np.empty(tid.size, np.int32)
+        rc = self._lib.rans_dec_step(
+            self._handle,
+            tid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            tid.size,
+            sym.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc != 0:
+            raise RuntimeError("rANS streaming decode failed")
+        return sym + self._codec.offset
+
+    def close(self):
+        if self._handle:
+            self._lib.rans_dec_free(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def build_cdf_tables_from_bit_estimator(

@@ -77,6 +77,89 @@ int rans_encode_indexed(const int32_t* symbols, const int32_t* table_ids,
 
 // Decode n symbols (forward order). Same tables as encode.
 // Returns 0 on success, -1 on error.
+// ---------------------------------------------------------------------------
+// Stateful streaming decoder.
+//
+// The autoregressive (context-model) codec cannot present all table ids up
+// front: the CDF table for symbol i is chosen from symbols < i (the masked
+// conv context). This object holds the rANS state between calls so the host
+// raster-scan loop can alternate  "compute (mu, sigma) from decoded pixels"
+// and "decode the next C symbols".  Tables are copied at create time.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct RansDec {
+  std::vector<uint8_t> stream;
+  std::vector<uint32_t> freqs;   // ntables * nsym
+  std::vector<uint32_t> cums;    // ntables * nsym
+  std::vector<int32_t> slot2sym; // ntables << scale_bits
+  int32_t nsym = 0;
+  int32_t ntables = 0;
+  int32_t scale_bits = 0;
+  int64_t pos = 0;
+  uint32_t x = 0;
+};
+
+}  // namespace
+
+void* rans_dec_create(const uint8_t* in, int64_t in_size,
+                      const uint32_t* freqs, const uint32_t* cums,
+                      int32_t nsym, int32_t ntables, int32_t scale_bits) {
+  if (scale_bits < 1 || scale_bits > 16) return nullptr;
+  RansDec* d = new RansDec();
+  d->stream.assign(in, in + in_size);
+  d->freqs.assign(freqs, freqs + static_cast<int64_t>(ntables) * nsym);
+  d->cums.assign(cums, cums + static_cast<int64_t>(ntables) * nsym);
+  d->nsym = nsym;
+  d->ntables = ntables;
+  d->scale_bits = scale_bits;
+  d->slot2sym.resize(static_cast<size_t>(ntables) << scale_bits);
+  for (int32_t t = 0; t < ntables; ++t) {
+    int64_t base = static_cast<int64_t>(t) << scale_bits;
+    for (int32_t s = 0; s < nsym; ++s) {
+      const uint32_t f = d->freqs[static_cast<int64_t>(t) * nsym + s];
+      const uint32_t c = d->cums[static_cast<int64_t>(t) * nsym + s];
+      for (uint32_t u = 0; u < f; ++u) d->slot2sym[base + c + u] = s;
+    }
+  }
+  d->pos = 0;
+  d->x = 0;
+  for (int j = 0; j < 4; ++j) {
+    uint32_t b = d->pos < in_size ? d->stream[d->pos++] : 0u;
+    d->x = (d->x << 8) | b;
+  }
+  return d;
+}
+
+// Decode the next n symbols (forward order) with the given table ids.
+// Returns 0 on success, -1 on error.
+int rans_dec_step(void* dec, const int32_t* table_ids, int64_t n,
+                  int32_t* symbols_out) {
+  RansDec* d = static_cast<RansDec*>(dec);
+  if (d == nullptr) return -1;
+  const uint32_t mask = (1u << d->scale_bits) - 1;
+  const int64_t in_size = static_cast<int64_t>(d->stream.size());
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t t = table_ids[i];
+    if (t < 0 || t >= d->ntables) return -1;
+    const uint32_t slot = d->x & mask;
+    const int32_t s =
+        d->slot2sym[(static_cast<int64_t>(t) << d->scale_bits) + slot];
+    const uint32_t f = d->freqs[static_cast<int64_t>(t) * d->nsym + s];
+    const uint32_t c = d->cums[static_cast<int64_t>(t) * d->nsym + s];
+    d->x = f * (d->x >> d->scale_bits) + slot - c;
+    while (d->x < kRansL) {
+      uint32_t b = d->pos < in_size ? d->stream[d->pos++] : 0u;
+      d->x = (d->x << 8) | b;
+    }
+    symbols_out[i] = s;
+  }
+  return 0;
+}
+
+void rans_dec_free(void* dec) { delete static_cast<RansDec*>(dec); }
+
 int rans_decode_indexed(const uint8_t* in, int64_t in_size,
                         const int32_t* table_ids, int64_t n,
                         const uint32_t* freqs, const uint32_t* cums,

@@ -6,6 +6,13 @@ from .transforms18 import (
     SynthesisPrior,
 )
 from .hyperprior import ScaleHyperprior
+from .cheng2020 import (
+    ChengAnalysis,
+    ChengHyperAnalysis,
+    ChengHyperSynthesis,
+    ChengSynthesis,
+    JointAutoregressive,
+)
 from .dsc import DSCConfig, DSCStereoModel, DSC_PRESETS
 from .attention import bottleneck_attention, PatchMatchAttention, NLBlock
 from .passr import PAM, PASSRnet, ResASPPB, ResB, passr_losses
@@ -43,6 +50,11 @@ __all__ = [
     "AnalysisPrior",
     "SynthesisPrior",
     "ScaleHyperprior",
+    "ChengAnalysis",
+    "ChengHyperAnalysis",
+    "ChengHyperSynthesis",
+    "ChengSynthesis",
+    "JointAutoregressive",
     "DSCConfig",
     "DSCStereoModel",
     "DSC_PRESETS",

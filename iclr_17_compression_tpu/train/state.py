@@ -135,7 +135,7 @@ def make_hyperprior_train_step(train_lambda: float = 8192.0):
 
 
 def build_model(name: str, **kw):
-    """Model factory: 'balle17' | 'hyperprior' | 'dsc:<preset>'."""
+    """Model factory: 'balle17' | 'hyperprior' | 'joint' | 'dsc:<preset>'."""
     if name == "balle17":
         return Balle17Compressor(
             out_channel_n=kw.get("out_channel_n", 128),
@@ -147,6 +147,10 @@ def build_model(name: str, **kw):
             out_channel_m=kw.get("out_channel_m", 320),
             quant=kw.get("quant", "round"),
         )
+    if name == "joint":
+        from ..models.cheng2020 import JointAutoregressive
+
+        return JointAutoregressive(n=kw.get("n", 192))
     if name.startswith("dsc:"):
         from ..models.dsc import DSC_PRESETS
         import dataclasses
