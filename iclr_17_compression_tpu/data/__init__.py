@@ -3,7 +3,12 @@ from .datasets import (
     KodakDataset,
     StereoPairDataset,
     StereoKittiDataset,
+    StereoHoloPixDataset,
+    FIFEnhanceDataset,
+    StereoPassrDataset,
+    StereoPlusDataset,
     batch_iterator,
+    floor_to_multiple,
 )
 
 __all__ = [
@@ -11,5 +16,10 @@ __all__ = [
     "KodakDataset",
     "StereoPairDataset",
     "StereoKittiDataset",
+    "StereoHoloPixDataset",
+    "FIFEnhanceDataset",
+    "StereoPassrDataset",
+    "StereoPlusDataset",
     "batch_iterator",
+    "floor_to_multiple",
 ]

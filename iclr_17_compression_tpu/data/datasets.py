@@ -235,6 +235,209 @@ class StereoKittiDataset(StereoPairDataset):
         return np.ascontiguousarray(a), np.ascontiguousarray(b)
 
 
+def _resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Bilinear resize, float32 [0,1]."""
+    pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    return np.asarray(pil.resize((w, h), Image.BILINEAR), np.float32) / 255.0
+
+
+def _random_resized_crop(
+    img: np.ndarray, size: int, rng: random.Random,
+    scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
+) -> np.ndarray:
+    """torchvision RandomResizedCrop semantics (area-scale + aspect jitter,
+    fallback to center crop)."""
+    h, w = img.shape[:2]
+    area = h * w
+    for _ in range(10):
+        target = area * rng.uniform(*scale)
+        ar = np.exp(rng.uniform(np.log(ratio[0]), np.log(ratio[1])))
+        cw = int(round(np.sqrt(target * ar)))
+        ch = int(round(np.sqrt(target / ar)))
+        if 0 < cw <= w and 0 < ch <= h:
+            top = rng.randint(0, h - ch)
+            left = rng.randint(0, w - cw)
+            return _resize(img[top: top + ch, left: left + cw], size, size)
+    s = min(h, w)
+    top, left = (h - s) // 2, (w - s) // 2
+    return _resize(img[top: top + s, left: left + s], size, size)
+
+
+class StereoHoloPixDataset:
+    """HoloPix50k left/right pairs matched by 'left'→'right' path
+    substitution, jpg only, floor-to-×32, optional joint 320×320 random crop
+    (reference StereoDataset_HoloPix50k, datasets.py:147-196)."""
+
+    def __init__(
+        self,
+        left_dir: str,
+        random_crop: bool = False,
+        crop: Tuple[int, int] = (320, 320),
+        multiple: int = 32,
+        seed: int = 1234,
+    ):
+        self.left = [p for p in _list_images(left_dir) if p.lower().endswith((".jpg", ".jpeg"))]
+        if not self.left:
+            raise FileNotFoundError(f"no jpg images under {left_dir}")
+        self.random_crop = random_crop
+        self.crop = crop
+        self.multiple = multiple
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.left)
+
+    def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        lp = self.left[i]
+        rp = lp.replace("left", "right")
+        if not os.path.exists(rp):
+            raise FileNotFoundError(
+                f"missing right image {rp} (left/right names must match)"
+            )
+        a, b = _load(lp), _load(rp)
+        a, b = floor_to_multiple(a, self.multiple), floor_to_multiple(b, self.multiple)
+        if self.random_crop:
+            ch, cw = self.crop
+            h, w = min(a.shape[0], b.shape[0]), min(a.shape[1], b.shape[1])
+            ch, cw = min(ch, h), min(cw, w)
+            top = self.rng.randint(0, h - ch)
+            left = self.rng.randint(0, w - cw)
+            a = a[top: top + ch, left: left + cw]
+            b = b[top: top + ch, left: left + cw]
+        return np.ascontiguousarray(a), np.ascontiguousarray(b)
+
+
+class FIFEnhanceDataset:
+    """(SI_warped, reconstructed, original) triplets found by path
+    substitution from the reconstructed-images folder, optional joint
+    320×1216 crop (reference StereoDataset_FIF_enhance, datasets.py:284-316).
+    Feeds the enhancement-net trainer."""
+
+    def __init__(
+        self,
+        reconstructed_dir: str,
+        random_crop: bool = False,
+        crop: Tuple[int, int] = (320, 1216),
+        seed: int = 1234,
+    ):
+        self.rec = _list_images(reconstructed_dir)
+        if not self.rec:
+            raise FileNotFoundError(f"no images under {reconstructed_dir}")
+        self.random_crop = random_crop
+        self.crop = crop
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.rec)
+
+    def __getitem__(self, i: int):
+        rp = self.rec[i]
+        im_rec = _load(rp)
+        im_orig = _load(rp.replace("reconstructed", "original"))
+        im_si = _load(rp.replace("reconstructed", "SI_warped"))
+        if self.random_crop:
+            ch, cw = self.crop
+            h, w = im_rec.shape[:2]
+            ch, cw = min(ch, h), min(cw, w)
+            top = self.rng.randint(0, h - ch)
+            left = self.rng.randint(0, w - cw)
+            sl = np.s_[top: top + ch, left: left + cw]
+            im_rec, im_orig, im_si = im_rec[sl], im_orig[sl], im_si[sl]
+        return (
+            np.ascontiguousarray(im_si),
+            np.ascontiguousarray(im_rec),
+            np.ascontiguousarray(im_orig),
+        )
+
+
+class StereoPassrDataset:
+    """(LR_left, HR_right, HR_left) for parallax-attention SR training: the
+    left eye is blurred by a ÷2 resize round trip after a joint crop
+    (reference StereoDataset_passrNet, datasets.py:319-362)."""
+
+    def __init__(
+        self,
+        roots: Sequence[str],
+        train: bool = True,
+        crop: Tuple[int, int] = (320, 320),
+        seed: int = 1234,
+    ):
+        base = StereoKittiDataset(roots, train=train, crop=None, jitter=False, seed=seed)
+        self.pairs = base.pairs
+        self.train = train
+        self.crop = crop
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __getitem__(self, i: int):
+        lp, rp = self.pairs[i]
+        left, right = _load(lp), _load(rp)
+        ch, cw = self.crop
+        h, w = min(left.shape[0], right.shape[0]), min(left.shape[1], right.shape[1])
+        ch, cw = min(ch, h), min(cw, w)
+        if self.train:
+            top = self.rng.randint(0, h - ch)
+            lft = self.rng.randint(0, w - cw)
+        else:
+            top, lft = (h - ch) // 2, (w - cw) // 2
+        left = left[top: top + ch, lft: lft + cw]
+        right = right[top: top + ch, lft: lft + cw]
+        blurry = _resize(_resize(left, ch // 2, cw // 2), ch, cw)
+        return (
+            np.ascontiguousarray(blurry),
+            np.ascontiguousarray(right),
+            np.ascontiguousarray(left),
+        )
+
+
+class StereoPlusDataset:
+    """Stereo pair (basename-matched folders) + a random-resized-crop third
+    image as the contrastive negative (reference StereoPlusDataset,
+    datasets.py:365-410)."""
+
+    def __init__(
+        self,
+        left_dir: str,
+        right_dir: str,
+        contrast_dir: str,
+        random_crop: bool = False,
+        crop: Tuple[int, int] = (368, 368),
+        contrast_size: int = 368,
+        seed: int = 1234,
+    ):
+        self.left = _list_images(left_dir)
+        self.right_dir = right_dir
+        self.contrast = _list_images(contrast_dir)
+        if not self.left or not self.contrast:
+            raise FileNotFoundError("empty stereo or contrast folder")
+        self.random_crop = random_crop
+        self.crop = crop
+        self.contrast_size = contrast_size
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.left)
+
+    def __getitem__(self, i: int):
+        lp = self.left[i]
+        rp = os.path.join(self.right_dir, os.path.basename(lp))
+        a, b = _load(lp), _load(rp)
+        c = _random_resized_crop(
+            _load(self.contrast[i % len(self.contrast)]), self.contrast_size, self.rng
+        )
+        if self.random_crop:
+            ch, cw = self.crop
+            h, w = min(a.shape[0], b.shape[0]), min(a.shape[1], b.shape[1])
+            ch, cw = min(ch, h), min(cw, w)
+            top = self.rng.randint(0, h - ch)
+            left = self.rng.randint(0, w - cw)
+            a = a[top: top + ch, left: left + cw]
+            b = b[top: top + ch, left: left + cw]
+        return np.ascontiguousarray(a), np.ascontiguousarray(b), c
+
+
 def batch_iterator(
     dataset,
     batch_size: int,

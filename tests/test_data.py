@@ -81,3 +81,85 @@ def test_batch_iterator_pairs(stereo_dirs):
     assert len(batches) == 1
     a, b = batches[0]
     assert a.shape == (2, 64, 64, 3) and b.shape == (2, 64, 64, 3)
+
+
+# ---------------------------------------------------------------------------
+# The four remaining reference dataset shapes (datasets.py:147-410)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def holopix_dirs(tmp_path, rng):
+    l, r = tmp_path / "left", tmp_path / "right"
+    l.mkdir(), r.mkdir()
+    for i in range(3):
+        for d in (l, r):
+            arr = (rng.random((100, 140, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"pair_{i}.jpg")
+    return str(l)
+
+
+def test_holopix(holopix_dirs):
+    from iclr_17_compression_tpu.data import StereoHoloPixDataset
+
+    ds = StereoHoloPixDataset(holopix_dirs, random_crop=True, crop=(64, 64))
+    assert len(ds) == 3
+    a, b = ds[0]
+    assert a.shape == (64, 64, 3) and b.shape == (64, 64, 3)
+    ds2 = StereoHoloPixDataset(holopix_dirs, random_crop=False)
+    a, b = ds2[1]
+    assert a.shape == (96, 128, 3)  # floor-to-x32 of 100x140
+    assert a.shape == b.shape
+
+
+def test_fif_enhance_triplets(tmp_path, rng):
+    from iclr_17_compression_tpu.data import FIFEnhanceDataset
+
+    for sub in ("reconstructed", "original", "SI_warped"):
+        d = tmp_path / sub
+        d.mkdir()
+        for i in range(2):
+            arr = (rng.random((80, 120, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"im_{i}.png")
+    ds = FIFEnhanceDataset(str(tmp_path / "reconstructed"), random_crop=True, crop=(64, 96))
+    si, rec, orig = ds[0]
+    assert si.shape == rec.shape == orig.shape == (64, 96, 3)
+    # triplet members come from the three sibling folders, not copies
+    assert not np.array_equal(si, rec)
+
+
+@pytest.fixture
+def kitti_root(tmp_path, rng):
+    for cam in ("image_2", "image_3"):
+        d = tmp_path / cam
+        d.mkdir()
+        for i in range(3):
+            arr = (rng.random((90, 160, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"000{i}_10.png")
+    return str(tmp_path)
+
+
+def test_passr_triplets(kitti_root):
+    from iclr_17_compression_tpu.data import StereoPassrDataset
+
+    ds = StereoPassrDataset([kitti_root], train=True, crop=(64, 64))
+    blurry, right, left = ds[0]
+    assert blurry.shape == right.shape == left.shape == (64, 64, 3)
+    # the LR eye went through a /2 resize round trip: smoother than the HR eye
+    def tv(x):
+        return np.abs(np.diff(x, axis=0)).mean() + np.abs(np.diff(x, axis=1)).mean()
+
+    assert tv(blurry) < tv(left)
+
+
+def test_stereo_plus(stereo_dirs, image_dir):
+    from iclr_17_compression_tpu.data import StereoPlusDataset
+
+    l, r = stereo_dirs
+    ds = StereoPlusDataset(l, r, image_dir, random_crop=True, crop=(64, 64), contrast_size=48)
+    a, b, c = ds[0]
+    assert a.shape == (64, 64, 3) and b.shape == (64, 64, 3)
+    assert c.shape == (48, 48, 3)
+    # batch_iterator stacks 3-tuples too
+    batch = next(iter(batch_iterator(ds, 2, shuffle=False)))
+    assert batch[0].shape == (2, 64, 64, 3) and batch[2].shape == (2, 48, 48, 3)
