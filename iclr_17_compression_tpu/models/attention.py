@@ -73,6 +73,13 @@ class PatchMatchAttention(fnn.Module):
     k_patches: Conv(dim→dim_head, k=9, s=3) + ReLU   (overlapping)
     v        : raw 9×9 image patches, stride 3, channel-major flatten
     att      = softmax(−‖q−k‖₂ · scale_att);  out = att @ v → refold 9×9 grid
+
+    ``v_img``: optional separate value image (reference
+    train_only_att_block.py:140 passes q=z1, k=z2, v=the raw SI image). Its
+    grid must match k's: with ``v_scale`` = v_img.H / kv_img.H, value patches
+    are ``p·v_scale`` px at stride ``stride_v·v_scale`` — the same token count
+    as k — and the refold emits a ``v_scale``-times-larger output (the z-grid
+    attention reconstructs at image resolution).
     """
 
     dim: int
@@ -81,7 +88,9 @@ class PatchMatchAttention(fnn.Module):
     stride_v: int = 3
 
     @fnn.compact
-    def __call__(self, q_img: jax.Array, kv_img: jax.Array) -> jax.Array:
+    def __call__(
+        self, q_img: jax.Array, kv_img: jax.Array, v_img: Optional[jax.Array] = None
+    ) -> jax.Array:
         d = self.dim_head or self.dim
         p, sv = self.patch_size, self.stride_v
         scale_att = self.param("scale_att", lambda k, s: jnp.ones(()), ())
@@ -95,8 +104,15 @@ class PatchMatchAttention(fnn.Module):
         qf = q.reshape(n, hq * wq, d)
         kf = k.reshape(n, -1, d)
 
-        v_patches, _, _ = _extract_patches(kv_img, p, sv)
-        vf = v_patches.reshape(n, -1, v_patches.shape[-1])  # (N, nk, C*p*p)
+        if v_img is None:
+            v_img = kv_img
+        v_scale = v_img.shape[1] // kv_img.shape[1]
+        assert v_img.shape[1] == kv_img.shape[1] * v_scale, (
+            "v_img spatial size must be an integer multiple of kv_img's"
+        )
+        pv, svv = p * v_scale, sv * v_scale
+        v_patches, _, _ = _extract_patches(v_img, pv, svv)
+        vf = v_patches.reshape(n, -1, v_patches.shape[-1])  # (N, nk, C*pv*pv)
 
         # −cdist via the matmul expansion (MXU-friendly)
         q2 = jnp.sum(qf * qf, axis=-1, keepdims=True)
@@ -108,11 +124,11 @@ class PatchMatchAttention(fnn.Module):
 
         out = jnp.einsum("bij,bjf->bif", att, vf, preferred_element_type=jnp.float32,
                          precision=get_precision(None))
-        # refold: (N, hq*wq, C*p*p) -> image (N, hq*p, wq*p, C); channel-major
-        cimg = kv_img.shape[-1]
-        out = out.reshape(n, hq, wq, cimg, p, p)
-        out = out.transpose(0, 1, 4, 2, 5, 3)  # n, hq, p, wq, p, c
-        return out.reshape(n, hq * p, wq * p, cimg).astype(kv_img.dtype)
+        # refold: (N, hq*wq, C*pv*pv) -> image (N, hq*pv, wq*pv, C); channel-major
+        cimg = v_img.shape[-1]
+        out = out.reshape(n, hq, wq, cimg, pv, pv)
+        out = out.transpose(0, 1, 4, 2, 5, 3)  # n, hq, pv, wq, pv, c
+        return out.reshape(n, hq * pv, wq * pv, cimg).astype(v_img.dtype)
 
 
 class NLBlock(fnn.Module):

@@ -276,6 +276,8 @@ class DSCStereoModel(fnn.Module):
             g_rec = _Stack(_GREC_SPECS, name="g_rec1_im2_new")
             recon = recon + g_rec(jnp.concatenate([recon, im2], axis=-1))
         clipped = jnp.clip(recon, 0.0, 1.0)
+        out["recon_raw"] = recon  # unclipped — the residual-stage trainer adds
+        # this onto a frozen base recon (reference temp_reg_0_0625.py:109-112)
         out["recon"] = clipped
 
         # --- auxiliary base branch -------------------------------------------

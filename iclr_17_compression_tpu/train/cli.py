@@ -132,12 +132,20 @@ def train_dsc(cfg: TrainConfig, name: str, pretrain: str = ""):
         jnp.zeros((cfg.batch_size, hw, hw, 3)),
         jnp.zeros((cfg.batch_size, hw, hw, 3)),
     )
+    from .trainers import _injectable_optimizer, set_lr
+    from .state import TrainState
+
     plateau = ReduceLROnPlateau(base_lr=cfg.lr_base)
-    # injectable LR via schedule closure over a mutable cell
-    lr_cell = {"lr": cfg.lr_base}
-    state = create_train_state(
-        model, rng, example, lr=lambda step: lr_cell["lr"], grad_clip=cfg.grad_clip
+    # LR lives in the opt_state (inject_hyperparams) so the plateau scheduler
+    # can change it between jitted steps — a schedule closure over a Python
+    # cell is baked in as a trace-time constant and never updates.
+    params = model.init({"params": rng, "quant": rng}, *example, train=True)["params"]
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=params,
+        tx=_injectable_optimizer(cfg.lr_base, cfg.grad_clip),
     )
+    cur_lr = cfg.lr_base
     step_fn = jax.jit(make_dsc_train_step())
 
     dataset = StereoKittiDataset(
@@ -160,13 +168,16 @@ def train_dsc(cfg: TrainConfig, name: str, pretrain: str = ""):
                     " ".join(f"{k}={float(v):.5f}" for k, v in metrics.items()),
                 )
         epoch_loss /= max(n_batches, 1)
-        lr_cell["lr"] = plateau.step(epoch_loss)
+        new_lr = plateau.step(epoch_loss)
+        if new_lr != cur_lr:
+            cur_lr = new_lr
+            state = set_lr(state, cur_lr)
         if epoch_loss < best_loss:
             best_loss = epoch_loss
             save_train_state(state, save_dir, "best_train", epoch, epoch_loss)
         if epoch % 10 == 0:
             save_train_state(state, save_dir, f"epoch_{epoch}", epoch, epoch_loss)
-        logger.info("epoch %d done: loss=%.5f lr=%.2e", epoch, epoch_loss, lr_cell["lr"])
+        logger.info("epoch %d done: loss=%.5f lr=%.2e", epoch, epoch_loss, cur_lr)
     return state
 
 
@@ -188,7 +199,13 @@ def main():
         cfg = dataclasses.replace(cfg, seed=args.seed)
     np.random.seed(cfg.seed)
 
-    if cfg.model.startswith("dsc:"):
+    from .trainers import TRAINERS
+
+    if cfg.model in TRAINERS:
+        save_dir = os.path.join("checkpoints", args.name)
+        setup_logging(args.name, save_dir)
+        TRAINERS[cfg.model](cfg, args.name, args.pretrain)
+    elif cfg.model.startswith("dsc:"):
         train_dsc(cfg, args.name, args.pretrain)
     else:
         train_single_image(cfg, args.name, args.pretrain)
