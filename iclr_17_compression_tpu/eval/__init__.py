@@ -1,4 +1,23 @@
 from .kodak import eval_kodak
 from .stereo import eval_stereo_dsc
+from .similarity import (
+    encoder_similarity,
+    encoder_distances,
+    code_distribution,
+    save_channel_images,
+    gzip_factor,
+)
+from .mix import mix_encoder_decoder, eval_single_image, average_two_models
 
-__all__ = ["eval_kodak", "eval_stereo_dsc"]
+__all__ = [
+    "eval_kodak",
+    "eval_stereo_dsc",
+    "encoder_similarity",
+    "encoder_distances",
+    "code_distribution",
+    "save_channel_images",
+    "gzip_factor",
+    "mix_encoder_decoder",
+    "eval_single_image",
+    "average_two_models",
+]

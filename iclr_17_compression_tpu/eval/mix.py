@@ -1,0 +1,70 @@
+"""Checkpoint mix-and-match evaluations.
+
+- ``mix_encoder_decoder`` — run a codec with the encoder params from one
+  checkpoint and the decoder params from another (reference
+  NewTests/testReconSeperateEandD.py).
+- ``average_two_models``  — evaluate with the outputs of two checkpoints
+  averaged (reference NewTests/testAverage2Models.py).
+
+Both operate on params pytrees (use train.checkpoint.load_params /
+train.torch_import for loading), so they are model-family agnostic.
+"""
+
+from typing import Dict, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.metrics import ms_ssim
+
+
+def mix_encoder_decoder(params_a: Dict, params_b: Dict, encoder_keys=("encoder",)) -> Dict:
+    """Params tree taking ``encoder_keys`` subtrees from A, the rest from B."""
+    pa = params_a["params"] if "params" in params_a else params_a
+    pb = params_b["params"] if "params" in params_b else params_b
+    mixed = dict(pb)
+    for k in encoder_keys:
+        if k not in pa:
+            raise KeyError(f"{k!r} not in checkpoint A (has {sorted(pa)})")
+        mixed[k] = pa[k]
+    return {"params": mixed}
+
+
+def eval_single_image(model, params, images: Iterable[np.ndarray]) -> Dict[str, float]:
+    """PSNR / MS-SSIM of a single-image codec over a dataset."""
+    @jax.jit
+    def fwd(im):
+        out = model.apply(params, im, train=False)
+        return out["recon"], jnp.mean((out["recon"] - im) ** 2)
+
+    n, psnr_sum, ms_sum = 0, 0.0, 0.0
+    for a in images:
+        im = jnp.asarray(a)[None]
+        recon, mse = fwd(im)
+        psnr_sum += 10.0 * float(np.log10(1.0 / max(float(mse), 1e-12)))
+        ms_sum += float(ms_ssim(recon, im))
+        n += 1
+    return {"psnr": psnr_sum / n, "ms_ssim": ms_sum / n, "n_images": n}
+
+
+def average_two_models(
+    model, params_a: Dict, params_b: Dict, images: Iterable[np.ndarray]
+) -> Dict[str, float]:
+    """Evaluate with recon = (recon_A + recon_B) / 2
+    (reference NewTests/testAverage2Models.py)."""
+    @jax.jit
+    def fwd(im):
+        ra = model.apply(params_a, im, train=False)["recon"]
+        rb = model.apply(params_b, im, train=False)["recon"]
+        recon = 0.5 * (ra + rb)
+        return recon, jnp.mean((recon - im) ** 2)
+
+    n, psnr_sum, ms_sum = 0, 0.0, 0.0
+    for a in images:
+        im = jnp.asarray(a)[None]
+        recon, mse = fwd(im)
+        psnr_sum += 10.0 * float(np.log10(1.0 / max(float(mse), 1e-12)))
+        ms_sum += float(ms_ssim(recon, im))
+        n += 1
+    return {"psnr": psnr_sum / n, "ms_ssim": ms_sum / n, "n_images": n}
