@@ -95,7 +95,7 @@ def _gdn_fused_bwd(inverse, interpret, res, g):
     x, params = res
 
     def ref_fn(x_, params_):
-        from ..gdn import gdn as gdn_jnp
+        from ..gdn import gdn_xla as gdn_jnp
 
         return gdn_jnp(x_, params_, inverse=inverse)
 
@@ -123,7 +123,7 @@ def gdn_pallas(
     for d in x.shape[:-1]:
         p *= d
     if _pick_tile(p) == 0:
-        from ..gdn import gdn as gdn_jnp
+        from ..gdn import gdn_xla as gdn_jnp
 
         return gdn_jnp(x, params, inverse=inverse)
     return _gdn_fused(x, params, inverse, interpret)
