@@ -193,6 +193,79 @@ def import_dsc(sd: Dict[str, np.ndarray], config) -> Dict[str, Any]:
     return params
 
 
+# ---------------------------------------------------------------------------
+# Joint-autoregressive hierarchical prior (Cheng2020Anchor;
+# reference models/temp.py:45-112, CompressAI layout)
+# ---------------------------------------------------------------------------
+
+# torch Sequential index → (our submodule name, block kind)
+_JOINT_GA = {
+    "0": ("rbs0", "rbs"), "1": ("rb1", "rb"), "2": ("rbs2", "rbs"),
+    "3": ("rb3", "rb"), "4": ("rbs4", "rbs"), "5": ("rb5", "rb"),
+    "6": ("conv6", "conv3"),
+}
+_JOINT_HA = {str(i): (f"conv{i // 2}", "conv3") for i in (0, 2, 4, 6, 8)}
+_JOINT_HS = {
+    "0": ("conv0", "conv3"), "2": ("subpel1", "subpel"),
+    "4": ("conv2", "conv3"), "6": ("subpel3", "subpel"),
+    "8": ("conv4", "conv3"),
+}
+_JOINT_GS = {
+    "0": ("rb0", "rb"), "1": ("rbu1", "rbu"), "2": ("rb2", "rb"),
+    "3": ("rbu3", "rbu"), "4": ("rb4", "rb"), "5": ("rbu5", "rbu"),
+    "6": ("rb6", "rb"), "7": ("subpel7", "subpel"),
+}
+_JOINT_EP = {str(i): (f"conv{i // 2}", "conv3") for i in (0, 2, 4)}
+
+
+def _import_named_stack(sd, torch_prefix: str, table) -> Dict[str, Any]:
+    params: Dict[str, Any] = {}
+    for k, v in sd.items():
+        if not k.startswith(torch_prefix + "."):
+            continue
+        rest = k[len(torch_prefix) + 1:]
+        idx_s, sub = rest.split(".", 1)
+        if idx_s not in table:
+            continue
+        name, kind = table[idx_s]
+        if kind == "subpel":
+            sub = sub.split(".", 1)[1]  # Sequential(conv, PixelShuffle): drop '0.'
+            _import_block_params(params, name, sub, v, "conv3")
+            leaf = sub.split(".")[-1]
+            params[name].setdefault("conv", {})[leaf] = params[name].pop(leaf)
+        else:
+            _import_block_params(params, name, sub, v, kind)
+    return params
+
+
+def import_joint(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """CompressAI Cheng2020Anchor/JointAutoregressiveHierarchicalPriors
+    state_dict → models.cheng2020.JointAutoregressive params tree.
+
+    ``entropy_bottleneck.*`` (CompressAI's matrix/bias/factor factorized
+    prior) and ``gaussian_conditional.*`` (scale-table buffers) have no
+    parameter-level equivalent here — our z prior is the reference's own
+    Bitparm stack (models/bitEstimator.py) — so those keys are skipped;
+    use merge_partial over an init tree and fine-tune the z prior briefly.
+    """
+    params: Dict[str, Any] = {
+        "g_a": _import_named_stack(sd, "g_a", _JOINT_GA),
+        "h_a": _import_named_stack(sd, "h_a", _JOINT_HA),
+        "h_s": _import_named_stack(sd, "h_s", _JOINT_HS),
+        "g_s": _import_named_stack(sd, "g_s", _JOINT_GS),
+        "entropy_parameters": _import_named_stack(sd, "entropy_parameters", _JOINT_EP),
+    }
+    ctx = {}
+    for leaf in ("weight", "bias"):
+        k = f"context_prediction.{leaf}"
+        if k in sd:
+            v = sd[k]
+            ctx[leaf] = torch_conv_weight_to_hwio(v) if v.ndim == 4 else v
+    if ctx:
+        params["context_prediction"] = ctx
+    return params
+
+
 def merge_partial(init_params: Dict[str, Any], imported: Dict[str, Any]) -> Dict[str, Any]:
     """Overlay imported leaves onto an init tree (partial-load semantics of
     reference model.py:26-27); shapes must match where keys intersect."""
