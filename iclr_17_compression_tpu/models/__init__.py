@@ -13,7 +13,7 @@ from .cheng2020 import (
     ChengSynthesis,
     JointAutoregressive,
 )
-from .dsc import DSCConfig, DSCStereoModel, DSC_PRESETS
+from .dsc import DSCConfig, DSCDecoder, DSCStereoModel, DSC_PRESETS
 from .attention import bottleneck_attention, PatchMatchAttention, NLBlock
 from .passr import PAM, PASSRnet, ResASPPB, ResB, passr_losses
 from .enhance import FIF, FIFEnhance, FinalEnhanceNet, ConvBlock, AdaptiveBatchNorm
@@ -56,6 +56,7 @@ __all__ = [
     "ChengSynthesis",
     "JointAutoregressive",
     "DSCConfig",
+    "DSCDecoder",
     "DSCStereoModel",
     "DSC_PRESETS",
 ]

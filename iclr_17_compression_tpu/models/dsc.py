@@ -169,6 +169,64 @@ class DSCConfig:
     code_div: int = 32                 # spatial ÷ of the code
 
 
+def _fuse_and_synthesize(cfg, g_s, z1_hat, z2, z2_hat, im2, train):
+    """SI fusion + synthesis — the decoder-side tail shared by the full model
+    and DSCDecoder. Must be called inside a compact scope, exactly once per
+    apply; submodule names match the reference's attribute names so imported
+    checkpoints address them directly.
+
+    Returns (fused, recon_raw); clipping is the caller's business (the
+    residual-stage trainer needs the unclipped recon, temp_reg_0_0625.py:109).
+    """
+    # --- fusion with side information (reference models/temp.py:262-292) ---
+    if cfg.fusion == "cat3":
+        z_cat = jnp.concatenate([z1_hat, z2_hat, z2], axis=-1)
+    else:
+        si = jnp.zeros_like(z2) if cfg.si_mode == "zero_si" else z2
+        zc = jnp.zeros_like(z1_hat) if cfg.si_mode == "zero_code" else z1_hat
+        z_cat = jnp.concatenate([zc, si], axis=-1)
+
+    if cfg.fusion_pre == "fif":
+        from .enhance import FIF
+
+        z_cat = FIF(features=2 * cfg.n, name="fif")(z_cat, train=train)
+
+    fused = _Stack(cfg.gz, name="g_z1hat_z2")(z_cat)
+    if cfg.gz2:
+        fused = fused + _Stack(cfg.gz2, name="g_z1hat_z2_freq2")(z_cat)
+
+    if cfg.fusion_post == "bot_att":
+        from .attention import bottleneck_attention
+
+        att = bottleneck_attention(fused, z2)
+        fused = _Stack(
+            ((("att", 2 * cfg.n), ("rb", cfg.n))), name="final_conv"
+        )(jnp.concatenate([fused, att], axis=-1))
+    elif cfg.fusion_post == "patch_att":
+        from .attention import PatchMatchAttention
+
+        att = PatchMatchAttention(dim=cfg.n, name="bot_mhsa")(fused, z2)
+        # patch grid (9×9 tiles) may undershoot the latent size; pad back
+        # (the reference would shape-error here, temp_bottleneck_Att.py:133)
+        ph = fused.shape[1] - att.shape[1]
+        pw = fused.shape[2] - att.shape[2]
+        att = jnp.pad(att, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        fused = _Stack(
+            ((("att", 2 * cfg.n), ("rb", 2 * cfg.n), ("rb", cfg.n))),
+            name="final_conv",
+        )(jnp.concatenate([fused, att], axis=-1))
+    elif cfg.fusion_post == "pam":
+        from .passr import PAM
+
+        fused = PAM(cfg.n, name="pam")(fused, z2, train=False)
+
+    recon = g_s(fused)
+    if cfg.recon_residual:
+        g_rec = _Stack(_GREC_SPECS, name="g_rec1_im2_new")
+        recon = recon + g_rec(jnp.concatenate([recon, im2], axis=-1))
+    return fused, recon
+
+
 class DSCStereoModel(fnn.Module):
     """Two-branch DSC codec; behavior fully determined by ``config``.
 
@@ -205,7 +263,6 @@ class DSCStereoModel(fnn.Module):
         g_s = _Stack(cfg.gs, name="g_s")
         g_a22 = _Stack(cfg.ga22, name="g_a22")
         g_s22 = _Stack(cfg.gs22, name="g_s22")
-        g_z = _Stack(cfg.gz, name="g_z1hat_z2")
 
         z1 = g_a(im1)
         z2 = g_a_y(im2)
@@ -227,54 +284,11 @@ class DSCStereoModel(fnn.Module):
         z1_hat = g_s22(code)
         out["z1_hat"] = z1_hat
 
-        # --- fusion with side information ------------------------------------
-        if cfg.fusion == "cat3":
-            z2_hat = g_s22(g_a22(z2))
-            z_cat = jnp.concatenate([z1_hat, z2_hat, z2], axis=-1)
-        else:
-            si = jnp.zeros_like(z2) if cfg.si_mode == "zero_si" else z2
-            zc = jnp.zeros_like(z1_hat) if cfg.si_mode == "zero_code" else z1_hat
-            z_cat = jnp.concatenate([zc, si], axis=-1)
-
-        if cfg.fusion_pre == "fif":
-            from .enhance import FIF
-
-            z_cat = FIF(features=2 * cfg.n, name="fif")(z_cat, train=train)
-
-        fused = g_z(z_cat)
-        if cfg.gz2:
-            fused = fused + _Stack(cfg.gz2, name="g_z1hat_z2_freq2")(z_cat)
-
-        if cfg.fusion_post == "bot_att":
-            from .attention import bottleneck_attention
-
-            att = bottleneck_attention(fused, z2)
-            fused = _Stack(
-                ((("att", 2 * cfg.n), ("rb", cfg.n))), name="final_conv"
-            )(jnp.concatenate([fused, att], axis=-1))
-        elif cfg.fusion_post == "patch_att":
-            from .attention import PatchMatchAttention
-
-            att = PatchMatchAttention(dim=cfg.n, name="bot_mhsa")(fused, z2)
-            # patch grid (9×9 tiles) may undershoot the latent size; pad back
-            # (the reference would shape-error here, temp_bottleneck_Att.py:133)
-            ph = fused.shape[1] - att.shape[1]
-            pw = fused.shape[2] - att.shape[2]
-            att = jnp.pad(att, ((0, 0), (0, ph), (0, pw), (0, 0)))
-            fused = _Stack(
-                ((("att", 2 * cfg.n), ("rb", 2 * cfg.n), ("rb", cfg.n))),
-                name="final_conv",
-            )(jnp.concatenate([fused, att], axis=-1))
-        elif cfg.fusion_post == "pam":
-            from .passr import PAM
-
-            fused = PAM(cfg.n, name="pam")(fused, z2, train=False)
+        z2_hat = g_s22(g_a22(z2)) if cfg.fusion == "cat3" else None
+        fused, recon = _fuse_and_synthesize(
+            cfg, g_s, z1_hat, z2, z2_hat, im2, train=train
+        )
         out["fused"] = fused
-
-        recon = g_s(fused)
-        if cfg.recon_residual:
-            g_rec = _Stack(_GREC_SPECS, name="g_rec1_im2_new")
-            recon = recon + g_rec(jnp.concatenate([recon, im2], axis=-1))
         clipped = jnp.clip(recon, 0.0, 1.0)
         out["recon_raw"] = recon  # unclipped — the residual-stage trainer adds
         # this onto a frozen base recon (reference temp_reg_0_0625.py:109-112)
@@ -330,6 +344,36 @@ class DSCStereoModel(fnn.Module):
         out["loss_full"] = loss_full
         out["loss_z"] = loss_z
         return out
+
+
+class DSCDecoder(fnn.Module):
+    """Decode-only subgraph: (code, side_info_image) → reconstruction.
+
+    Parameter names match DSCStereoModel exactly, so the FULL model's trained
+    params tree applies directly (extra subtrees — g_a22, the base branch —
+    are simply unused). This is what a real DSC receiver runs: it never sees
+    im1, only the transmitted code plus its own camera's image.
+    """
+
+    config: DSCConfig
+
+    @fnn.compact
+    def __call__(self, code, im2):
+        cfg = self.config
+        g_a = _Stack(cfg.ga, name="g_a" if cfg.shared_encoder else "g_a_y")
+        z2 = g_a(im2)
+        g_s22 = _Stack(cfg.gs22, name="g_s22")
+        z1_hat = g_s22(code)
+        z2_hat = (
+            g_s22(_Stack(cfg.ga22, name="g_a22")(z2))
+            if cfg.fusion == "cat3"
+            else None
+        )
+        g_s = _Stack(cfg.gs, name="g_s")
+        _, recon = _fuse_and_synthesize(
+            cfg, g_s, z1_hat, z2, z2_hat, im2, train=False
+        )
+        return jnp.clip(recon, 0.0, 1.0)
 
 
 # ---------------------------------------------------------------------------
