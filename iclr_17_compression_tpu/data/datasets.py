@@ -438,25 +438,61 @@ class StereoPlusDataset:
         return np.ascontiguousarray(a), np.ascontiguousarray(b), c
 
 
+def _assemble_batch(items):
+    if isinstance(items[0], tuple):
+        return tuple(np.stack([it[j] for it in items]) for j in range(len(items[0])))
+    return np.stack(items)
+
+
 def batch_iterator(
     dataset,
     batch_size: int,
     shuffle: bool = True,
     seed: int = 0,
     drop_last: bool = True,
+    num_workers: int = 0,
+    prefetch: int = 4,
 ) -> Iterator:
-    """Minimal DataLoader replacement. Yields stacked numpy batches; for
-    paired datasets, yields a tuple of stacked arrays."""
+    """DataLoader replacement. Yields stacked numpy batches; for paired
+    datasets, yields a tuple of stacked arrays.
+
+    ``num_workers > 0`` loads items on a thread pool and keeps ``prefetch``
+    batches in flight, overlapping PIL decode / augmentation (libjpeg/zlib
+    release the GIL) with the accelerator step — the role DataLoader worker
+    processes play in the reference (train.py:238-243, num_workers=1).
+    Batch order and contents are identical to the synchronous path.
+    """
     idx = list(range(len(dataset)))
     rng = random.Random(seed)
     if shuffle:
         rng.shuffle(idx)
+    chunks = []
     for start in range(0, len(idx), batch_size):
         chunk = idx[start: start + batch_size]
         if drop_last and len(chunk) < batch_size:
-            return
-        items = [dataset[i] for i in chunk]
-        if isinstance(items[0], tuple):
-            yield tuple(np.stack([it[j] for it in items]) for j in range(len(items[0])))
-        else:
-            yield np.stack(items)
+            break
+        chunks.append(chunk)
+
+    if num_workers <= 0:
+        for chunk in chunks:
+            yield _assemble_batch([dataset[i] for i in chunk])
+        return
+
+    import collections
+    import concurrent.futures as futures
+
+    ex = futures.ThreadPoolExecutor(max_workers=num_workers)
+    try:
+        pending = collections.deque()
+        it = iter(chunks)
+        for chunk in chunks[: max(prefetch, 1)]:
+            next(it)
+            pending.append([ex.submit(dataset.__getitem__, i) for i in chunk])
+        while pending:
+            futs = pending.popleft()
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append([ex.submit(dataset.__getitem__, i) for i in nxt])
+            yield _assemble_batch([f.result() for f in futs])
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)

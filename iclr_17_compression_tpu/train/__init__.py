@@ -8,6 +8,7 @@ from .state import (
 )
 from .schedules import step_decay_schedule, ReduceLROnPlateau
 from .meters import AverageMeter, WeightedMeter
+from .observability import MetricsLogger, ProfileWindow, profile_trace, step_annotation
 
 __all__ = [
     "TrainConfig",
@@ -20,4 +21,8 @@ __all__ = [
     "ReduceLROnPlateau",
     "AverageMeter",
     "WeightedMeter",
+    "MetricsLogger",
+    "ProfileWindow",
+    "profile_trace",
+    "step_annotation",
 ]

@@ -28,6 +28,7 @@ from ..eval.kodak import eval_kodak
 from .checkpoint import save_params, save_train_state
 from .config import TrainConfig
 from .meters import AverageMeter
+from .observability import MetricsLogger, ProfileWindow, apply_debug_flags
 from .schedules import ReduceLROnPlateau, step_decay_schedule
 from .state import (
     build_model,
@@ -84,10 +85,16 @@ def train_single_image(cfg: TrainConfig, name: str, pretrain: str = ""):
     test_set = KodakDataset(cfg.test_dir) if cfg.test_dir else None
 
     meters = {k: AverageMeter(cfg.print_freq) for k in ("rd_loss", "mse", "bpp", "psnr")}
+    mlog = MetricsLogger(save_dir, tensorboard=cfg.tensorboard)
+    prof = ProfileWindow(cfg.profile_dir, cfg.profile_start_step, cfg.profile_num_steps)
     global_step = int(state.step)
     t_last = time.time()
     for epoch in range(cfg.tot_epoch):
-        for batch in batch_iterator(dataset, cfg.batch_size, seed=cfg.seed + epoch):
+        for batch in batch_iterator(
+            dataset, cfg.batch_size, seed=cfg.seed + epoch,
+            num_workers=cfg.num_workers,
+        ):
+            prof.tick(global_step)
             rng = jax.random.fold_in(rng, global_step)
             state, metrics = step_fn(state, jnp.asarray(batch), rng)
             global_step += 1
@@ -104,6 +111,7 @@ def train_single_image(cfg: TrainConfig, name: str, pretrain: str = ""):
                     " ".join(f"{k}={m.avg:.5f}" for k, m in meters.items()),
                     cfg.print_freq * cfg.batch_size / max(dt, 1e-9),
                 )
+                mlog.log(global_step, {k: m.avg for k, m in meters.items()})
             if global_step % cfg.save_model_freq == 0:
                 save_params(state.params, save_dir, global_step)
                 if test_set is not None:
@@ -113,10 +121,19 @@ def train_single_image(cfg: TrainConfig, name: str, pretrain: str = ""):
                         global_step, res["bpp"], res["psnr"],
                         res["ms_ssim"], res["ms_ssim_db"],
                     )
+                    mlog.log(
+                        global_step,
+                        {k: res[k] for k in ("bpp", "psnr", "ms_ssim", "ms_ssim_db")},
+                        prefix="test/",
+                    )
             if global_step >= cfg.tot_step:
                 save_params(state.params, save_dir, global_step)
+                prof.close()
+                mlog.close()
                 return state
     save_params(state.params, save_dir, global_step)
+    prof.close()
+    mlog.close()
     return state
 
 
@@ -152,10 +169,16 @@ def train_dsc(cfg: TrainConfig, name: str, pretrain: str = ""):
         cfg.train_dir.split(","), train=True, seed=cfg.seed
     )
     best_loss = float("inf")
+    mlog = MetricsLogger(save_dir, tensorboard=cfg.tensorboard)
+    prof = ProfileWindow(cfg.profile_dir, cfg.profile_start_step, cfg.profile_num_steps)
     global_step = int(state.step)
     for epoch in range(cfg.tot_epoch):
         epoch_loss, n_batches = 0.0, 0
-        for im1, im2 in batch_iterator(dataset, cfg.batch_size, seed=cfg.seed + epoch):
+        for im1, im2 in batch_iterator(
+            dataset, cfg.batch_size, seed=cfg.seed + epoch,
+            num_workers=cfg.num_workers,
+        ):
+            prof.tick(global_step)
             rng = jax.random.fold_in(rng, global_step)
             state, metrics = step_fn(state, jnp.asarray(im1), jnp.asarray(im2), rng)
             global_step += 1
@@ -167,6 +190,7 @@ def train_dsc(cfg: TrainConfig, name: str, pretrain: str = ""):
                     epoch, global_step,
                     " ".join(f"{k}={float(v):.5f}" for k, v in metrics.items()),
                 )
+                mlog.log(global_step, metrics)
         epoch_loss /= max(n_batches, 1)
         new_lr = plateau.step(epoch_loss)
         if new_lr != cur_lr:
@@ -178,6 +202,9 @@ def train_dsc(cfg: TrainConfig, name: str, pretrain: str = ""):
         if epoch % 10 == 0:
             save_train_state(state, save_dir, f"epoch_{epoch}", epoch, epoch_loss)
         logger.info("epoch %d done: loss=%.5f lr=%.2e", epoch, epoch_loss, cur_lr)
+        mlog.log(global_step, {"epoch_loss": epoch_loss, "lr": cur_lr}, prefix="epoch/")
+    prof.close()
+    mlog.close()
     return state
 
 
@@ -198,6 +225,7 @@ def main():
 
         cfg = dataclasses.replace(cfg, seed=args.seed)
     np.random.seed(cfg.seed)
+    apply_debug_flags(debug_nans=cfg.debug_nans)
 
     from .trainers import TRAINERS
 

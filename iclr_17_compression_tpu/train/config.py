@@ -46,6 +46,13 @@ class TrainConfig:
     test_dir: str = ""
     num_workers: int = 1
 
+    # observability (train/observability.py)
+    tensorboard: bool = True           # scalars to <save_dir>/tb if available
+    profile_dir: str = ""              # non-empty → trace a step window
+    profile_start_step: int = 10
+    profile_num_steps: int = 5
+    debug_nans: bool = False           # jax_debug_nans (sanitizer analog)
+
     @classmethod
     def from_json(cls, path: str) -> "TrainConfig":
         """Load the reference JSON schema (nested ``lr`` dict supported)."""
