@@ -1,4 +1,10 @@
 from .mesh import make_mesh, batch_sharding, tile_sharding, replicated
+from .halo import (
+    halo_exchange_w,
+    make_tiled_balle17,
+    tiled_conv2d,
+    tiled_conv_transpose2d,
+)
 from .tiled import (
     TiledStreams,
     make_tiled_codec,
@@ -15,4 +21,8 @@ __all__ = [
     "make_tiled_codec",
     "encode_tiles_to_streams",
     "decode_streams_to_code",
+    "halo_exchange_w",
+    "make_tiled_balle17",
+    "tiled_conv2d",
+    "tiled_conv_transpose2d",
 ]
