@@ -41,6 +41,7 @@ MAGIC = b"ICZ1"
 KIND_BALLE17 = 1
 KIND_DSC = 2
 KIND_JOINT = 3
+KIND_DSC_COMPOSITE = 4  # base DSC code + rate-regression residual code
 
 
 # ---------------------------------------------------------------------------
@@ -222,10 +223,16 @@ def encode_image(image: np.ndarray, spec: str, params, n: int = 128) -> bytes:
 
     # DSC: transmit the coarse-quantized code of im1 alone (the SI image
     # never reaches the encoder — reference models/temp.py:232-260).
+    return head + _encode_dsc_payload(x, model.config, params)
+
+
+def _encode_dsc_payload(x: np.ndarray, cfg, params) -> bytes:
+    """One DSC coarse-code payload: shape/step/table header + rANS stream."""
+    import jax.numpy as jnp
+
     from ..models.dsc import _Stack
     from .api import build_cdf_tables_from_histogram, encode_latent
 
-    cfg = model.config
     z1 = _Stack(cfg.ga).apply({"params": params["params"]["g_a"]}, jnp.asarray(x))
     code_pre = _Stack(cfg.ga22).apply({"params": params["params"]["g_a22"]}, z1)
     step = float(cfg.coarse_step)
@@ -243,7 +250,80 @@ def encode_image(image: np.ndarray, spec: str, params, n: int = 128) -> bytes:
     ch, cw, cc = syms.shape
     payload = struct.pack("<HHHfhH", ch, cw, cc, step, offset, nsym)
     payload += codec.freqs.astype(np.uint32).tobytes()
-    return head + payload + _pack_bytes(stream)
+    return payload + _pack_bytes(stream)
+
+
+def _decode_dsc_code(r: "_Reader") -> np.ndarray:
+    """Inverse of _encode_dsc_payload → dequantized code tensor (1,h,w,c)."""
+    from .api import RansCodec, decode_latent
+
+    ch, cw, cc, step, offset, nsym = r.take("HHHfhH")
+    freqs = np.frombuffer(
+        r.data[r.off: r.off + 4 * cc * nsym], np.uint32
+    ).reshape(cc, nsym)
+    r.off += 4 * cc * nsym
+    stream = r.take_bytes()
+    codec = RansCodec(freqs.copy(), offset=offset)
+    syms = decode_latent(codec, stream, (ch, cw, cc))
+    return (syms.astype(np.float32) * step)[None]
+
+
+def encode_composite(
+    image: np.ndarray, base_spec: str, base_params, reg_spec: str, reg_params,
+    n: int = 128,
+) -> bytes:
+    """Two-stage encode (reference NewTests/test_regModel_0_0625.py:105-125):
+    the base model's coarse code plus the regression stage's residual code in
+    one container — the 0.0625-bpp operating point."""
+    _, base_model, mult = build_model(base_spec, n)
+    _, reg_model, rmult = build_model(reg_spec, n)
+    h0, w0 = image.shape[:2]
+    x = pad_to_multiple(image, max(mult, rmult))[None]
+    rb = reg_spec.encode()
+    head = (
+        _header(KIND_DSC_COMPOSITE, base_spec, n, h0, w0)
+        + struct.pack("<B", len(rb)) + rb
+    )
+    return (
+        head
+        + _pack_bytes(_encode_dsc_payload(x, base_model.config, base_params))
+        + _pack_bytes(_encode_dsc_payload(x, reg_model.config, reg_params))
+    )
+
+
+def decode_composite(
+    data: bytes, base_params, reg_params, si_image: np.ndarray
+) -> np.ndarray:
+    """clip(base_recon + residual) from a composite bitstream + SI image."""
+    import jax.numpy as jnp
+
+    from ..models import DSC_PRESETS
+    from ..models.dsc import DSCDecoder
+
+    r = _Reader(data)
+    kind, base_name, n, h0, w0 = _read_header(r)
+    if kind != KIND_DSC_COMPOSITE:
+        raise ValueError("not a composite bitstream")
+    nlen = r.take("B")
+    reg_name = r.data[r.off: r.off + nlen].decode()
+    r.off += nlen
+    base_cfg = DSC_PRESETS[base_name]
+    reg_cfg = DSC_PRESETS[reg_name]
+
+    rb = _Reader(r.take_bytes())
+    base_code = _decode_dsc_code(rb)
+    rr = _Reader(r.take_bytes())
+    reg_code = _decode_dsc_code(rr)
+
+    si = pad_to_multiple(si_image, max(base_cfg.code_div, reg_cfg.code_div))[None]
+    base_recon = DSCDecoder(base_cfg).apply(
+        base_params, jnp.asarray(base_code), jnp.asarray(si)
+    )
+    residual = DSCDecoder(reg_cfg, clip=False).apply(
+        reg_params, jnp.asarray(reg_code), jnp.asarray(si)
+    )
+    final = jnp.clip(base_recon + residual, 0.0, 1.0)
+    return np.asarray(final)[0, :h0, :w0]
 
 
 def decode_image(
@@ -290,7 +370,6 @@ def decode_image(
     # DSC
     from ..models import DSC_PRESETS
     from ..models.dsc import DSCDecoder
-    from .api import RansCodec, decode_latent
 
     if si_image is None:
         raise ValueError(
@@ -298,15 +377,7 @@ def decode_image(
             "(the receiver's side-information image)"
         )
     cfg = DSC_PRESETS[name]
-    ch, cw, cc, step, offset, nsym = r.take("HHHfhH")
-    freqs = np.frombuffer(
-        r.data[r.off: r.off + 4 * cc * nsym], np.uint32
-    ).reshape(cc, nsym)
-    r.off += 4 * cc * nsym
-    stream = r.take_bytes()
-    codec = RansCodec(freqs.copy(), offset=offset)
-    syms = decode_latent(codec, stream, (ch, cw, cc))
-    code = (syms.astype(np.float32) * step)[None]
+    code = _decode_dsc_code(r)
     si = pad_to_multiple(si_image, cfg.code_div)[None]
     recon = DSCDecoder(cfg).apply(params, jnp.asarray(code), jnp.asarray(si))
     return np.asarray(recon)[0, :h0, :w0]
@@ -329,6 +400,11 @@ def main(argv=None):
         p.add_argument("--ckpt", required=True, help="flax .ckpt or torch .pth")
         p.add_argument("--n", type=int, default=128, help="model channels")
         p.add_argument("--si", default="", help="side-information image (DSC)")
+        p.add_argument("--reg-ckpt", default="",
+                       help="rate-regression stage checkpoint → composite "
+                            "two-code bitstream (0.0625-bpp operating point)")
+        p.add_argument("--reg-model", default="reg_0_0625",
+                       help="regression-stage DSC preset")
 
     pe = sub.add_parser("encode", help="image file → .icz bitstream")
     pe.add_argument("input")
@@ -346,11 +422,20 @@ def main(argv=None):
 
     args = ap.parse_args(argv)
 
+    def _load_reg(args):
+        _, reg_model, _ = build_model(args.reg_model, args.n)
+        return load_params(KIND_DSC, reg_model, args.reg_model, args.reg_ckpt)
+
     if args.cmd == "encode":
         img = load_image(args.input)
         kind, model, _ = build_model(args.model, args.n)
         params = load_params(kind, model, args.model, args.ckpt)
-        data = encode_image(img, args.model, params, n=args.n)
+        if args.reg_ckpt:
+            data = encode_composite(
+                img, args.model, params, args.reg_model, _load_reg(args), n=args.n
+            )
+        else:
+            data = encode_image(img, args.model, params, n=args.n)
         with open(args.output, "wb") as f:
             f.write(data)
         bpp = len(data) * 8.0 / (img.shape[0] * img.shape[1])
@@ -365,7 +450,12 @@ def main(argv=None):
         _, model, _ = build_model(spec, n)
         params = load_params(kind, model, spec, args.ckpt)
         si = load_image(args.si) if args.si else None
-        recon = decode_image(data, params, si_image=si)
+        if kind == KIND_DSC_COMPOSITE:
+            if si is None or not args.reg_ckpt:
+                raise SystemExit("composite decode needs --si and --reg-ckpt")
+            recon = decode_composite(data, params, _load_reg(args), si)
+        else:
+            recon = decode_image(data, params, si_image=si)
         save_image(recon, args.output)
         print(json.dumps({"output": args.output, "shape": list(recon.shape)}))
         return 0
@@ -374,9 +464,18 @@ def main(argv=None):
     img = load_image(args.input)
     kind, model, _ = build_model(args.model, args.n)
     params = load_params(kind, model, args.model, args.ckpt)
-    data = encode_image(img, args.model, params, n=args.n)
     si = load_image(args.si) if args.si else None
-    recon = decode_image(data, params, si_image=si)
+    if args.reg_ckpt:
+        reg_params = _load_reg(args)
+        data = encode_composite(
+            img, args.model, params, args.reg_model, reg_params, n=args.n
+        )
+        if si is None:
+            raise SystemExit("composite roundtrip needs --si")
+        recon = decode_composite(data, params, reg_params, si)
+    else:
+        data = encode_image(img, args.model, params, n=args.n)
+        recon = decode_image(data, params, si_image=si)
     mse = float(np.mean((recon - img) ** 2))
     psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
     bpp = len(data) * 8.0 / (img.shape[0] * img.shape[1])

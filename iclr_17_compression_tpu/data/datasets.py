@@ -71,26 +71,53 @@ def floor_to_multiple(img: np.ndarray, m: int) -> np.ndarray:
     return img[top: top + nh, left: left + nw]
 
 
-class ImageFolderDataset:
-    """Random crops + H/V flips for codec training."""
+class _EpochSeeded:
+    """Stateless per-item augmentation RNG: a pure function of
+    (seed, epoch, index). A shared ``random.Random`` would make augmentations
+    depend on call history — nondeterministic under threaded prefetch
+    (concurrent ``__getitem__``) and impossible to reproduce after a
+    checkpoint resume. ``batch_iterator(..., epoch=e)`` calls ``set_epoch``."""
 
-    def __init__(self, root: str, image_size: int = 256, seed: int = 1234):
+    seed: int = 1234
+    _epoch: int = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = int(epoch)
+
+    def _item_rng(self, i: int) -> random.Random:
+        # int-tuple hash is deterministic across processes (PYTHONHASHSEED
+        # only randomizes str/bytes hashing)
+        return random.Random(hash((self.seed, self._epoch, i)))
+
+
+class ImageFolderDataset(_EpochSeeded):
+    """RandomResizedCrop + H/V flips for codec training (reference
+    ``Datasets``, datasets.py:21-28: RandomResizedCrop(image_size) then
+    random horizontal+vertical flips)."""
+
+    def __init__(self, root: str, image_size: int = 256, seed: int = 1234,
+                 random_resized: bool = True):
         self.paths = _list_images(root)
         if not self.paths:
             raise FileNotFoundError(f"no images under {root}")
         self.image_size = image_size
-        self.rng = random.Random(seed)
+        self.seed = seed
+        self.random_resized = random_resized
 
     def __len__(self):
         return len(self.paths)
 
     def __getitem__(self, i: int) -> np.ndarray:
+        rng = self._item_rng(i)
         img = _load(self.paths[i % len(self.paths)])
         s = self.image_size
-        img = _rand_crop(img, s, s, self.rng)
-        if self.rng.random() < 0.5:
+        if self.random_resized:
+            img = _random_resized_crop(img, s, rng)
+        else:
+            img = _rand_crop(img, s, s, rng)
+        if rng.random() < 0.5:
             img = img[:, ::-1]
-        if self.rng.random() < 0.5:
+        if rng.random() < 0.5:
             img = img[::-1, :]
         return np.ascontiguousarray(img)
 
@@ -127,8 +154,12 @@ def _color_jitter(img: np.ndarray, rng: random.Random,
     return np.clip(img, 0.0, 1.0)
 
 
-class StereoPairDataset:
-    """Paired left/right folders matched by sorted order or filename map."""
+class StereoPairDataset(_EpochSeeded):
+    """Paired left/right folders matched by sorted order or filename map.
+
+    ``resize_to``: optional (h, w) both eyes are resized to after the joint
+    crop — the reference StereoDataset's crop-370×740-then-resize-to-128×256
+    training path (reference datasets.py:95-117)."""
 
     def __init__(
         self,
@@ -138,6 +169,7 @@ class StereoPairDataset:
         multiple: int = 32,
         train: bool = True,
         joint_vflip: bool = True,
+        resize_to: Optional[Tuple[int, int]] = None,
         seed: int = 1234,
     ):
         self.left = _list_images(left_dir)
@@ -150,23 +182,28 @@ class StereoPairDataset:
         self.multiple = multiple
         self.train = train
         self.joint_vflip = joint_vflip
-        self.rng = random.Random(seed)
+        self.resize_to = resize_to
+        self.seed = seed
 
     def __len__(self):
         return len(self.left)
 
     def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        rng = self._item_rng(i)
         a, b = _load(self.left[i]), _load(self.right[i])
         if self.train and self.crop is not None:
             ch, cw = self.crop
             h, w = min(a.shape[0], b.shape[0]), min(a.shape[1], b.shape[1])
             ch, cw = min(ch, h), min(cw, w)
-            top = self.rng.randint(0, h - ch)
-            left = self.rng.randint(0, w - cw)
+            top = rng.randint(0, h - ch)
+            left = rng.randint(0, w - cw)
             a = a[top: top + ch, left: left + cw]
             b = b[top: top + ch, left: left + cw]
-            if self.joint_vflip and self.rng.random() < 0.5:
+            if self.joint_vflip and rng.random() < 0.5:
                 a, b = a[::-1], b[::-1]
+        if self.resize_to is not None:
+            rh, rw = self.resize_to
+            a, b = _resize(a, rh, rw), _resize(b, rh, rw)
         a = floor_to_multiple(a, self.multiple)
         b = floor_to_multiple(b, self.multiple)
         return np.ascontiguousarray(a), np.ascontiguousarray(b)
@@ -204,32 +241,34 @@ class StereoKittiDataset(StereoPairDataset):
         self.train = train
         self.jitter = jitter and train
         self.joint_vflip = train
-        self.rng = random.Random(seed)
+        self.seed = seed
 
     def __len__(self):
         return len(self.pairs)
 
     def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        rng = self._item_rng(i)
         lp, rp = self.pairs[i]
         a, b = _load(lp), _load(rp)
         if self.train and self.crop is not None:
             ch, cw = self.crop
             h, w = min(a.shape[0], b.shape[0]), min(a.shape[1], b.shape[1])
             ch, cw = min(ch, h), min(cw, w)
-            top = self.rng.randint(0, h - ch)
-            left = self.rng.randint(0, w - cw)
+            top = rng.randint(0, h - ch)
+            left = rng.randint(0, w - cw)
             a = a[top: top + ch, left: left + cw]
             b = b[top: top + ch, left: left + cw]
-            if self.rng.random() < 0.5:
+            if rng.random() < 0.5:
                 a, b = a[::-1], b[::-1]
             if self.jitter:
-                st = self.rng.getstate()
+                # identical jitter factors for both eyes (reference
+                # datasets.py:259-263 stacks the eyes before jitter)
+                st = rng.getstate()
                 jr = random.Random()
                 jr.setstate(st)
                 a = _color_jitter(a, jr)
                 jr.setstate(st)
                 b = _color_jitter(b, jr)
-                self.rng.random()  # advance
         a = floor_to_multiple(a, self.multiple)
         b = floor_to_multiple(b, self.multiple)
         return np.ascontiguousarray(a), np.ascontiguousarray(b)
@@ -263,7 +302,7 @@ def _random_resized_crop(
     return _resize(img[top: top + s, left: left + s], size, size)
 
 
-class StereoHoloPixDataset:
+class StereoHoloPixDataset(_EpochSeeded):
     """HoloPix50k left/right pairs matched by 'left'→'right' path
     substitution, jpg only, floor-to-×32, optional joint 320×320 random crop
     (reference StereoDataset_HoloPix50k, datasets.py:147-196)."""
@@ -282,12 +321,13 @@ class StereoHoloPixDataset:
         self.random_crop = random_crop
         self.crop = crop
         self.multiple = multiple
-        self.rng = random.Random(seed)
+        self.seed = seed
 
     def __len__(self):
         return len(self.left)
 
     def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        rng = self._item_rng(i)
         lp = self.left[i]
         rp = lp.replace("left", "right")
         if not os.path.exists(rp):
@@ -300,14 +340,14 @@ class StereoHoloPixDataset:
             ch, cw = self.crop
             h, w = min(a.shape[0], b.shape[0]), min(a.shape[1], b.shape[1])
             ch, cw = min(ch, h), min(cw, w)
-            top = self.rng.randint(0, h - ch)
-            left = self.rng.randint(0, w - cw)
+            top = rng.randint(0, h - ch)
+            left = rng.randint(0, w - cw)
             a = a[top: top + ch, left: left + cw]
             b = b[top: top + ch, left: left + cw]
         return np.ascontiguousarray(a), np.ascontiguousarray(b)
 
 
-class FIFEnhanceDataset:
+class FIFEnhanceDataset(_EpochSeeded):
     """(SI_warped, reconstructed, original) triplets found by path
     substitution from the reconstructed-images folder, optional joint
     320×1216 crop (reference StereoDataset_FIF_enhance, datasets.py:284-316).
@@ -325,12 +365,13 @@ class FIFEnhanceDataset:
             raise FileNotFoundError(f"no images under {reconstructed_dir}")
         self.random_crop = random_crop
         self.crop = crop
-        self.rng = random.Random(seed)
+        self.seed = seed
 
     def __len__(self):
         return len(self.rec)
 
     def __getitem__(self, i: int):
+        rng = self._item_rng(i)
         rp = self.rec[i]
         im_rec = _load(rp)
         im_orig = _load(rp.replace("reconstructed", "original"))
@@ -339,8 +380,8 @@ class FIFEnhanceDataset:
             ch, cw = self.crop
             h, w = im_rec.shape[:2]
             ch, cw = min(ch, h), min(cw, w)
-            top = self.rng.randint(0, h - ch)
-            left = self.rng.randint(0, w - cw)
+            top = rng.randint(0, h - ch)
+            left = rng.randint(0, w - cw)
             sl = np.s_[top: top + ch, left: left + cw]
             im_rec, im_orig, im_si = im_rec[sl], im_orig[sl], im_si[sl]
         return (
@@ -350,7 +391,7 @@ class FIFEnhanceDataset:
         )
 
 
-class StereoPassrDataset:
+class StereoPassrDataset(_EpochSeeded):
     """(LR_left, HR_right, HR_left) for parallax-attention SR training: the
     left eye is blurred by a ÷2 resize round trip after a joint crop
     (reference StereoDataset_passrNet, datasets.py:319-362)."""
@@ -366,20 +407,21 @@ class StereoPassrDataset:
         self.pairs = base.pairs
         self.train = train
         self.crop = crop
-        self.rng = random.Random(seed)
+        self.seed = seed
 
     def __len__(self):
         return len(self.pairs)
 
     def __getitem__(self, i: int):
+        rng = self._item_rng(i)
         lp, rp = self.pairs[i]
         left, right = _load(lp), _load(rp)
         ch, cw = self.crop
         h, w = min(left.shape[0], right.shape[0]), min(left.shape[1], right.shape[1])
         ch, cw = min(ch, h), min(cw, w)
         if self.train:
-            top = self.rng.randint(0, h - ch)
-            lft = self.rng.randint(0, w - cw)
+            top = rng.randint(0, h - ch)
+            lft = rng.randint(0, w - cw)
         else:
             top, lft = (h - ch) // 2, (w - cw) // 2
         left = left[top: top + ch, lft: lft + cw]
@@ -392,7 +434,7 @@ class StereoPassrDataset:
         )
 
 
-class StereoPlusDataset:
+class StereoPlusDataset(_EpochSeeded):
     """Stereo pair (basename-matched folders) + a random-resized-crop third
     image as the contrastive negative (reference StereoPlusDataset,
     datasets.py:365-410)."""
@@ -415,24 +457,25 @@ class StereoPlusDataset:
         self.random_crop = random_crop
         self.crop = crop
         self.contrast_size = contrast_size
-        self.rng = random.Random(seed)
+        self.seed = seed
 
     def __len__(self):
         return len(self.left)
 
     def __getitem__(self, i: int):
+        rng = self._item_rng(i)
         lp = self.left[i]
         rp = os.path.join(self.right_dir, os.path.basename(lp))
         a, b = _load(lp), _load(rp)
         c = _random_resized_crop(
-            _load(self.contrast[i % len(self.contrast)]), self.contrast_size, self.rng
+            _load(self.contrast[i % len(self.contrast)]), self.contrast_size, rng
         )
         if self.random_crop:
             ch, cw = self.crop
             h, w = min(a.shape[0], b.shape[0]), min(a.shape[1], b.shape[1])
             ch, cw = min(ch, h), min(cw, w)
-            top = self.rng.randint(0, h - ch)
-            left = self.rng.randint(0, w - cw)
+            top = rng.randint(0, h - ch)
+            left = rng.randint(0, w - cw)
             a = a[top: top + ch, left: left + cw]
             b = b[top: top + ch, left: left + cw]
         return np.ascontiguousarray(a), np.ascontiguousarray(b), c
@@ -452,6 +495,8 @@ def batch_iterator(
     drop_last: bool = True,
     num_workers: int = 0,
     prefetch: int = 4,
+    epoch: Optional[int] = None,
+    skip: int = 0,
 ) -> Iterator:
     """DataLoader replacement. Yields stacked numpy batches; for paired
     datasets, yields a tuple of stacked arrays.
@@ -461,7 +506,15 @@ def batch_iterator(
     release the GIL) with the accelerator step — the role DataLoader worker
     processes play in the reference (train.py:238-243, num_workers=1).
     Batch order and contents are identical to the synchronous path.
+
+    ``epoch`` is folded into the shuffle seed and forwarded to the dataset's
+    ``set_epoch`` (stateless per-item augmentation RNG). ``skip`` drops the
+    first N batches WITHOUT loading them — exact mid-epoch checkpoint resume.
     """
+    if epoch is not None:
+        seed = seed + epoch
+        if hasattr(dataset, "set_epoch"):
+            dataset.set_epoch(epoch)
     idx = list(range(len(dataset)))
     rng = random.Random(seed)
     if shuffle:
@@ -472,6 +525,7 @@ def batch_iterator(
         if drop_last and len(chunk) < batch_size:
             break
         chunks.append(chunk)
+    chunks = chunks[skip:]
 
     if num_workers <= 0:
         for chunk in chunks:

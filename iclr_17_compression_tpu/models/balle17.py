@@ -135,7 +135,12 @@ class Balle17Compressor(fnn.Module):
             out["bpp"] = jnp.float32(latent.size / (n * h * w))
         else:
             cdf = BitEstimator(self.out_channel_n, name="bit_estimator")
-            prob = cdf(latent + 0.5) - cdf(latent - 0.5)
+            # rate term in fp32 always: under bf16 storage the CDF difference
+            # of two near-equal sigmoids cancels catastrophically (small
+            # probabilities flush to 0 → clipped to 50 bits), while the
+            # elementwise upcast costs nothing next to the convs
+            lat32 = latent.astype(jnp.float32)
+            prob = cdf(lat32 + 0.5) - cdf(lat32 - 0.5)
             total_bits = jnp.sum(
                 jnp.clip(-jnp.log(prob + 1e-10) / LOG2, 0.0, 50.0)
             )

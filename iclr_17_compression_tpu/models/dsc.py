@@ -353,9 +353,14 @@ class DSCDecoder(fnn.Module):
     params tree applies directly (extra subtrees — g_a22, the base branch —
     are simply unused). This is what a real DSC receiver runs: it never sees
     im1, only the transmitted code plus its own camera's image.
+
+    ``clip=False`` returns the raw synthesis output — required when the
+    decoded image is a residual added onto a frozen base reconstruction
+    (the reg_0_0625 stage, reference NewTests/test_regModel_0_0625.py:105-115).
     """
 
     config: DSCConfig
+    clip: bool = True
 
     @fnn.compact
     def __call__(self, code, im2):
@@ -373,7 +378,7 @@ class DSCDecoder(fnn.Module):
         _, recon = _fuse_and_synthesize(
             cfg, g_s, z1_hat, z2, z2_hat, im2, train=False
         )
-        return jnp.clip(recon, 0.0, 1.0)
+        return jnp.clip(recon, 0.0, 1.0) if self.clip else recon
 
 
 # ---------------------------------------------------------------------------
@@ -586,5 +591,24 @@ DSC_PRESETS = {
         fine_noise=0.5, coarse_noise=0.5, coarse_step=1.0,
         loss="l1", z_target_coarse=False,
         latent_div=32, code_div=32,
+    ),
+    # development preset (not a reference variant): the temp_0031bpp topology
+    # at 1/8 width so the full train_dsc CLI path runs on a CPU test mesh in
+    # seconds.
+    "tiny": _preset(
+        "tiny", n=16, code_channels=2,
+        ga22=(("conv3", 8, 1), ("rbs", 8, 2), ("conv3", 2, 1)),
+        gs22=(("conv3", 8, 1), ("rbu", 16, 2), ("rb", 16)),
+        fine_noise=8.0, coarse_noise=8.0, coarse_step=16.0,
+        loss="mse",
+    ),
+    # development counterpart of reg_0_0625 (residual stage: no base branch)
+    "tiny_reg": _preset(
+        "tiny_reg", n=16, code_channels=2,
+        ga22=(("conv3", 8, 1), ("rbs", 8, 2), ("conv3", 2, 1)),
+        gs22=(("conv3", 8, 1), ("rbu", 16, 2), ("rb", 16)),
+        base_branch=False,
+        coarse_noise=8.0, coarse_step=16.0,
+        loss="l1",
     ),
 }

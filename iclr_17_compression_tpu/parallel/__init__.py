@@ -1,4 +1,15 @@
-from .mesh import make_mesh, batch_sharding, tile_sharding, replicated
+from .mesh import (
+    make_mesh,
+    batch_sharding,
+    batch_and_tile_sharding,
+    tile_sharding,
+    replicated,
+    training_mesh,
+    shard_train_step,
+    put_replicated,
+    put_batch,
+    validate_tile_extent,
+)
 from .halo import (
     halo_exchange_w,
     make_tiled_balle17,
@@ -15,8 +26,14 @@ from .tiled import (
 __all__ = [
     "make_mesh",
     "batch_sharding",
+    "batch_and_tile_sharding",
     "tile_sharding",
     "replicated",
+    "training_mesh",
+    "shard_train_step",
+    "put_replicated",
+    "put_batch",
+    "validate_tile_extent",
     "TiledStreams",
     "make_tiled_codec",
     "encode_tiles_to_streams",

@@ -60,3 +60,83 @@ def tile_sharding(mesh: Mesh, axis: str = "width") -> NamedSharding:
 def batch_and_tile_sharding(mesh: Mesh) -> NamedSharding:
     """Shard batch over 'data' and W over 'tile' simultaneously."""
     return NamedSharding(mesh, P("data", None, "tile", None))
+
+
+def training_mesh(
+    batch_size: int,
+    n_data: Optional[int] = None,
+    n_tile: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Mesh for a training run — the DataParallel replacement (reference
+    train.py:227-228 spreads each batch over all visible GPUs).
+
+    ``n_data=None`` → use as many devices as the batch divides evenly into
+    (all of them when ``batch_size % n_devices == 0``), so the default config
+    works on 1 chip, an 8-device CPU test mesh, or a pod slice unchanged.
+    Explicit ``n_data`` is validated strictly.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    avail = len(devices) // n_tile
+    if avail < 1:
+        raise ValueError(f"n_tile={n_tile} exceeds {len(devices)} devices")
+    if n_data is None:
+        n_data = avail
+        while n_data > 1 and batch_size % n_data != 0:
+            n_data -= 1
+    elif batch_size % n_data != 0:
+        raise ValueError(f"batch_size={batch_size} not divisible by mesh data={n_data}")
+    return make_mesh(n_data=n_data, n_tile=n_tile, devices=devices[: n_data * n_tile])
+
+
+def validate_tile_extent(width: int, n_tile: int, total_div: int, min_shard: int = 2):
+    """Refuse spatial tilings in GSPMD's silent-wrong-answer regime.
+
+    When a W-shard of the deepest latent is narrower than a conv kernel's
+    halo, XLA's partitioner produces numerically WRONG results without any
+    error (measured on the CPU backend: a 1-wide latent shard under a 5×5
+    transposed conv doubles the reconstruction MSE while bpp — the encoder
+    path — stays bit-exact). Real workloads have deep-latent widths ≥ 40;
+    this check only bites degenerate configs (tiny images, huge tile count).
+
+    ``total_div``: the codec's total spatial downsampling (16 for the
+    Ballé/Cheng latent, 32 for the DSC code tensor).
+    """
+    if n_tile <= 1:
+        return
+    shard = (width // total_div) // n_tile
+    if shard < min_shard:
+        raise ValueError(
+            f"mesh_tile={n_tile} gives deepest-latent W shards of {shard} px "
+            f"(width {width}, ÷{total_div}); shards narrower than {min_shard} px "
+            "fall into GSPMD's halo>shard regime which silently mis-computes. "
+            "Use fewer tiles or wider images."
+        )
+
+
+def shard_train_step(step_fn, mesh: Mesh, n_batch_args: int = 1):
+    """Jit a ``(state, *batches, rng) -> (state, metrics)`` train step over
+    the mesh: state and rng replicated, every batch argument sharded batch →
+    'data', W → 'tile'. XLA turns the gradient sum into an ICI all-reduce and
+    inserts conv halo collective-permutes for the tile axis — the TPU-native
+    replacement for DataParallel's NCCL scatter/gather."""
+    rep = replicated(mesh)
+    bsh = batch_and_tile_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep,) + (bsh,) * n_batch_args + (rep,),
+        out_shardings=(rep, rep),
+    )
+
+
+def put_replicated(tree, mesh: Mesh):
+    """Device-put every array leaf replicated over the mesh."""
+    return jax.device_put(tree, replicated(mesh))
+
+
+def put_batch(mesh: Mesh, *arrays):
+    """Device-put batch arrays with (data, tile) sharding; single array in →
+    single array out."""
+    bsh = batch_and_tile_sharding(mesh)
+    out = tuple(jax.device_put(a, bsh) for a in arrays)
+    return out[0] if len(out) == 1 else out

@@ -31,6 +31,31 @@ def load_params(template, path: str):
         return serialization.from_bytes(template, f.read())
 
 
+def load_params_partial(template, path: str):
+    """Load only the intersecting keys (with matching shapes) of a native
+    checkpoint over ``template`` — the reference's partial state_dict load
+    (reference model.py:26-27 filters the loaded dict to intersecting keys).
+    Needed for decoder-only / stage-2 finetunes from full-model checkpoints.
+    """
+    from flax import traverse_util
+
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    tmpl_state = serialization.to_state_dict(template)
+    flat_t = traverse_util.flatten_dict(tmpl_state)
+    flat_r = traverse_util.flatten_dict(raw)
+    merged = {}
+    for k, v in flat_t.items():
+        r = flat_r.get(k)
+        if r is not None and getattr(r, "shape", None) == getattr(v, "shape", None):
+            merged[k] = r
+        else:
+            merged[k] = v
+    return serialization.from_state_dict(
+        template, traverse_util.unflatten_dict(merged)
+    )
+
+
 def save_train_state(
     state,
     directory: str,
@@ -78,3 +103,25 @@ def latest_checkpoint(directory: str, prefix: str = "iter") -> Optional[str]:
         if m and int(m.group(1)) > best_step:
             best, best_step = os.path.join(directory, f), int(m.group(1))
     return best
+
+
+def resolve_resume(path: str) -> Optional[str]:
+    """Resolve a ``--resume`` argument: an explicit .ckpt file, or a run
+    directory — in which case prefer ``latest.ckpt``, then the highest
+    ``epoch_N.ckpt``, then ``best_train.ckpt``."""
+    if os.path.isfile(path):
+        return path
+    if not os.path.isdir(path):
+        return None
+    latest = os.path.join(path, "latest.ckpt")
+    if os.path.exists(latest):
+        return latest
+    best, best_epoch = None, -1
+    for f in os.listdir(path):
+        m = re.match(r"epoch_(\d+)\.ckpt$", f)
+        if m and int(m.group(1)) > best_epoch:
+            best, best_epoch = os.path.join(path, f), int(m.group(1))
+    if best:
+        return best
+    bt = os.path.join(path, "best_train.ckpt")
+    return bt if os.path.exists(bt) else None

@@ -3,7 +3,7 @@
 Replaces the reference's 10 trainer scripts with one driver:
 
   python -m iclr_17_compression_tpu.train.cli \
-      --config examples/balle17.json --name run1 [--pretrain ckpt]
+      --config examples/balle17.json --name run1 [--pretrain ckpt] [--resume dir]
 
 Reference parity: argparse flags -n/-p/--config/--seed (train.py:30-39),
 JSON config schema (train.py:41-66), step-decay LR + warmup (train.py:69-81),
@@ -12,6 +12,19 @@ rd_loss = λ·mse + bpp (train.py:100-102), elementwise grad clamp ±5
 windowed meters + logging (train.py:114-149). DSC variants select via
 ``model: "dsc:<preset>"`` with the train_2StepsNet loop shape (best-loss
 checkpointing + plateau LR, train_2StepsNet.py:112-256).
+
+Parallelism: every train step is jitted over a ``Mesh(('data','tile'))`` —
+batch sharded over 'data' (gradient all-reduce becomes an XLA ICI
+collective), image W over 'tile' (GSPMD halo exchange) — the TPU-native
+replacement for the reference's ``torch.nn.DataParallel``
+(train.py:227-228). Runs unchanged on 1 chip (1×1 mesh) or a pod slice.
+
+Resume: ``--resume <dir-or-ckpt>`` restores the FULL TrainState (params,
+optimizer state, step) plus epoch / mid-epoch batch offset / plateau-LR
+state from the sidecar, and continues bit-exactly: step RNG is derived from
+the global step, and dataset augmentations are a pure function of
+(seed, epoch, index). Supersedes the reference's rich checkpoint dicts
+(train_2StepsNet.py:204-220), which were saved but never reloaded.
 """
 
 import argparse
@@ -23,9 +36,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data import ImageFolderDataset, KodakDataset, StereoKittiDataset, batch_iterator
+from ..data import (
+    ImageFolderDataset,
+    KodakDataset,
+    StereoHoloPixDataset,
+    StereoKittiDataset,
+    StereoPairDataset,
+    batch_iterator,
+)
 from ..eval.kodak import eval_kodak
-from .checkpoint import save_params, save_train_state
+from ..parallel import (
+    put_batch,
+    put_replicated,
+    shard_train_step,
+    training_mesh,
+    validate_tile_extent,
+)
+from .checkpoint import load_train_state, resolve_resume, save_params, save_train_state
 from .config import TrainConfig
 from .meters import AverageMeter
 from .observability import MetricsLogger, ProfileWindow, apply_debug_flags
@@ -43,6 +70,7 @@ logger = logging.getLogger("iclr17c")
 
 def setup_logging(name: str, save_dir: str):
     os.makedirs(save_dir, exist_ok=True)
+    logger.handlers.clear()  # idempotent across runs in one process
     logger.setLevel(logging.INFO)
     fmt = logging.Formatter("[%(asctime)s][%(levelname)s] %(message)s")
     fh = logging.FileHandler(os.path.join(save_dir, "train.log"))
@@ -53,9 +81,33 @@ def setup_logging(name: str, save_dir: str):
     logger.addHandler(sh)
 
 
-def train_single_image(cfg: TrainConfig, name: str, pretrain: str = ""):
-    """Ballé-17 / hyperprior training loop (reference train.py shape)."""
-    save_dir = os.path.join("checkpoints", name)
+def make_stereo_dataset(cfg: TrainConfig):
+    """Stereo training source selected by ``cfg.dataset`` (the reference
+    hardcoded one dataset per trainer; HoloPix runs are R_D_HoloPix.png)."""
+    if cfg.dataset == "kitti":
+        return StereoKittiDataset(cfg.train_dir.split(","), train=True, seed=cfg.seed)
+    if cfg.dataset == "holopix":
+        return StereoHoloPixDataset(cfg.train_dir, random_crop=True, seed=cfg.seed)
+    if cfg.dataset == "pairs":
+        left, right = cfg.train_dir.split(",")
+        return StereoPairDataset(left, right, seed=cfg.seed)
+    raise ValueError(f"unknown stereo dataset {cfg.dataset!r}")
+
+
+def _restore(state, resume: str):
+    """Resolve + load a full-TrainState checkpoint; returns (state, meta)."""
+    path = resolve_resume(resume)
+    if path is None:
+        raise FileNotFoundError(f"--resume {resume!r}: no checkpoint found")
+    state, meta = load_train_state(state, path)
+    logger.info("resumed %s at step %d (meta=%s)", path, int(state.step), meta)
+    return state, meta
+
+
+def train_single_image(cfg: TrainConfig, name: str, pretrain: str = "", resume: str = ""):
+    """Ballé-17 / hyperprior training loop (reference train.py shape),
+    data×tile-sharded over the device mesh."""
+    save_dir = os.path.join(cfg.save_root, name)
     setup_logging(name, save_dir)
     rng = jax.random.PRNGKey(cfg.seed)
 
@@ -70,16 +122,25 @@ def train_single_image(cfg: TrainConfig, name: str, pretrain: str = ""):
         cfg.lr_base, cfg.lr_decay, cfg.lr_decay_interval, cfg.warmup_step
     )
     state = create_train_state(model, rng, (example,), lr=lr, grad_clip=cfg.grad_clip)
-    if pretrain:
-        from .checkpoint import load_params
+    start_epoch, start_skip = 0, 0
+    if resume:
+        state, meta = _restore(state, resume)
+        start_epoch = int(meta.get("epoch", 0))
+        start_skip = int(meta.get("batch_in_epoch", 0))
+    elif pretrain:
+        from .checkpoint import load_params_partial
 
-        state = state.replace(params=load_params(state.params, pretrain))
+        state = state.replace(params=load_params_partial(state.params, pretrain))
         logger.info("loaded pretrain %s", pretrain)
 
+    mesh = training_mesh(cfg.batch_size, cfg.mesh_data, cfg.mesh_tile)
+    validate_tile_extent(cfg.image_size, mesh.devices.shape[1], total_div=16)
+    logger.info("mesh: data=%d tile=%d", *mesh.devices.shape)
     if cfg.model == "balle17":
-        step_fn = jax.jit(make_balle17_train_step(cfg.train_lambda))
+        step_fn = shard_train_step(make_balle17_train_step(cfg.train_lambda), mesh)
     else:
-        step_fn = jax.jit(make_hyperprior_train_step(cfg.train_lambda))
+        step_fn = shard_train_step(make_hyperprior_train_step(cfg.train_lambda), mesh)
+    state = put_replicated(state, mesh)
 
     dataset = ImageFolderDataset(cfg.train_dir, cfg.image_size, cfg.seed)
     test_set = KodakDataset(cfg.test_dir) if cfg.test_dir else None
@@ -88,16 +149,26 @@ def train_single_image(cfg: TrainConfig, name: str, pretrain: str = ""):
     mlog = MetricsLogger(save_dir, tensorboard=cfg.tensorboard)
     prof = ProfileWindow(cfg.profile_dir, cfg.profile_start_step, cfg.profile_num_steps)
     global_step = int(state.step)
+
+    def _checkpoint(epoch: int, batch_in_epoch: int):
+        save_params(state.params, save_dir, global_step)
+        save_train_state(
+            state, save_dir, "latest", epoch=epoch,
+            extra={"batch_in_epoch": batch_in_epoch},
+        )
+
     t_last = time.time()
-    for epoch in range(cfg.tot_epoch):
+    for epoch in range(start_epoch, cfg.tot_epoch):
+        batch_in_epoch = start_skip if epoch == start_epoch else 0
         for batch in batch_iterator(
-            dataset, cfg.batch_size, seed=cfg.seed + epoch,
-            num_workers=cfg.num_workers,
+            dataset, cfg.batch_size, seed=cfg.seed, epoch=epoch,
+            num_workers=cfg.num_workers, skip=batch_in_epoch,
         ):
             prof.tick(global_step)
-            rng = jax.random.fold_in(rng, global_step)
-            state, metrics = step_fn(state, jnp.asarray(batch), rng)
+            step_rng = jax.random.fold_in(rng, global_step)
+            state, metrics = step_fn(state, put_batch(mesh, batch), step_rng)
             global_step += 1
+            batch_in_epoch += 1
             if global_step % cfg.cal_step == 0:
                 for k in meters:
                     if k in metrics:
@@ -113,7 +184,7 @@ def train_single_image(cfg: TrainConfig, name: str, pretrain: str = ""):
                 )
                 mlog.log(global_step, {k: m.avg for k, m in meters.items()})
             if global_step % cfg.save_model_freq == 0:
-                save_params(state.params, save_dir, global_step)
+                _checkpoint(epoch, batch_in_epoch)
                 if test_set is not None:
                     res = eval_kodak(model, {"params": state.params}, list(test_set))
                     logger.info(
@@ -127,19 +198,20 @@ def train_single_image(cfg: TrainConfig, name: str, pretrain: str = ""):
                         prefix="test/",
                     )
             if global_step >= cfg.tot_step:
-                save_params(state.params, save_dir, global_step)
+                _checkpoint(epoch, batch_in_epoch)
                 prof.close()
                 mlog.close()
                 return state
-    save_params(state.params, save_dir, global_step)
+    _checkpoint(cfg.tot_epoch, 0)
     prof.close()
     mlog.close()
     return state
 
 
-def train_dsc(cfg: TrainConfig, name: str, pretrain: str = ""):
-    """DSC stereo training loop (reference train_2StepsNet.py shape)."""
-    save_dir = os.path.join("checkpoints", name)
+def train_dsc(cfg: TrainConfig, name: str, pretrain: str = "", resume: str = ""):
+    """DSC stereo training loop (reference train_2StepsNet.py shape),
+    data×tile-sharded over the device mesh."""
+    save_dir = os.path.join(cfg.save_root, name)
     setup_logging(name, save_dir)
     rng = jax.random.PRNGKey(cfg.seed)
 
@@ -149,8 +221,8 @@ def train_dsc(cfg: TrainConfig, name: str, pretrain: str = ""):
         jnp.zeros((cfg.batch_size, hw, hw, 3)),
         jnp.zeros((cfg.batch_size, hw, hw, 3)),
     )
-    from .trainers import _injectable_optimizer, set_lr
     from .state import TrainState
+    from .trainers import _injectable_optimizer, set_lr
 
     plateau = ReduceLROnPlateau(base_lr=cfg.lr_base)
     # LR lives in the opt_state (inject_hyperparams) so the plateau scheduler
@@ -163,24 +235,41 @@ def train_dsc(cfg: TrainConfig, name: str, pretrain: str = ""):
         tx=_injectable_optimizer(cfg.lr_base, cfg.grad_clip),
     )
     cur_lr = cfg.lr_base
-    step_fn = jax.jit(make_dsc_train_step())
+    start_epoch = 0
+    if resume:
+        state, meta = _restore(state, resume)
+        start_epoch = int(meta.get("next_epoch", meta.get("epoch", 0)))
+        cur_lr = float(meta.get("lr", cfg.lr_base))
+        plateau.lr = cur_lr
+        plateau.best = float(meta.get("plateau_best", float("inf")))
+        plateau.bad_epochs = int(meta.get("plateau_bad", 0))
+    elif pretrain:
+        from .checkpoint import load_params_partial
 
-    dataset = StereoKittiDataset(
-        cfg.train_dir.split(","), train=True, seed=cfg.seed
-    )
+        state = state.replace(params=load_params_partial(state.params, pretrain))
+        logger.info("loaded pretrain %s", pretrain)
+
+    mesh = training_mesh(cfg.batch_size, cfg.mesh_data, cfg.mesh_tile)
+    validate_tile_extent(hw, mesh.devices.shape[1], total_div=32)
+    logger.info("mesh: data=%d tile=%d", *mesh.devices.shape)
+    step_fn = shard_train_step(make_dsc_train_step(), mesh, n_batch_args=2)
+    state = put_replicated(state, mesh)
+
+    dataset = make_stereo_dataset(cfg)
     best_loss = float("inf")
     mlog = MetricsLogger(save_dir, tensorboard=cfg.tensorboard)
     prof = ProfileWindow(cfg.profile_dir, cfg.profile_start_step, cfg.profile_num_steps)
     global_step = int(state.step)
-    for epoch in range(cfg.tot_epoch):
+    for epoch in range(start_epoch, cfg.tot_epoch):
         epoch_loss, n_batches = 0.0, 0
         for im1, im2 in batch_iterator(
-            dataset, cfg.batch_size, seed=cfg.seed + epoch,
+            dataset, cfg.batch_size, seed=cfg.seed, epoch=epoch,
             num_workers=cfg.num_workers,
         ):
             prof.tick(global_step)
-            rng = jax.random.fold_in(rng, global_step)
-            state, metrics = step_fn(state, jnp.asarray(im1), jnp.asarray(im2), rng)
+            step_rng = jax.random.fold_in(rng, global_step)
+            im1, im2 = put_batch(mesh, im1, im2)
+            state, metrics = step_fn(state, im1, im2, step_rng)
             global_step += 1
             epoch_loss += float(metrics["loss"])
             n_batches += 1
@@ -201,6 +290,15 @@ def train_dsc(cfg: TrainConfig, name: str, pretrain: str = ""):
             save_train_state(state, save_dir, "best_train", epoch, epoch_loss)
         if epoch % 10 == 0:
             save_train_state(state, save_dir, f"epoch_{epoch}", epoch, epoch_loss)
+        save_train_state(
+            state, save_dir, "latest", epoch, epoch_loss,
+            extra={
+                "next_epoch": epoch + 1,
+                "lr": cur_lr,
+                "plateau_best": plateau.best,
+                "plateau_bad": plateau.bad_epochs,
+            },
+        )
         logger.info("epoch %d done: loss=%.5f lr=%.2e", epoch, epoch_loss, cur_lr)
         mlog.log(global_step, {"epoch_loss": epoch_loss, "lr": cur_lr}, prefix="epoch/")
     prof.close()
@@ -215,6 +313,7 @@ def main():
     ap = argparse.ArgumentParser(description="TPU-native codec trainer")
     ap.add_argument("-n", "--name", default="run", help="experiment name")
     ap.add_argument("-p", "--pretrain", default="", help="pretrained ckpt path")
+    ap.add_argument("--resume", default="", help="run dir or .ckpt to resume from")
     ap.add_argument("--config", default="", help="JSON config")
     ap.add_argument("--seed", type=int, default=None)
     args = ap.parse_args()
@@ -230,13 +329,13 @@ def main():
     from .trainers import TRAINERS
 
     if cfg.model in TRAINERS:
-        save_dir = os.path.join("checkpoints", args.name)
+        save_dir = os.path.join(cfg.save_root, args.name)
         setup_logging(args.name, save_dir)
         TRAINERS[cfg.model](cfg, args.name, args.pretrain)
     elif cfg.model.startswith("dsc:"):
-        train_dsc(cfg, args.name, args.pretrain)
+        train_dsc(cfg, args.name, args.pretrain, args.resume)
     else:
-        train_single_image(cfg, args.name, args.pretrain)
+        train_single_image(cfg, args.name, args.pretrain, args.resume)
 
 
 if __name__ == "__main__":

@@ -37,11 +37,13 @@ class TrainConfig:
     out_channel_m: int = 320
     quant: str = "noise-round"
     loss: Optional[str] = None         # override DSC preset loss
-    mesh_data: Optional[int] = None    # None = all devices on data axis
-    mesh_tile: int = 1
+    mesh_data: Optional[int] = None    # None = auto (largest divisor of batch)
+    mesh_tile: int = 1                 # spatial W-tiling axis size
     dtype: str = "float32"             # params dtype; compute may be bf16
+    save_root: str = "checkpoints"     # checkpoints land in <save_root>/<name>
 
     # data
+    dataset: str = "kitti"             # stereo source: kitti | holopix | pairs
     train_dir: str = ""
     test_dir: str = ""
     num_workers: int = 1

@@ -77,7 +77,7 @@ def _run_epochs(
 ):
     """Reference epoch-loop shape: mean epoch loss → plateau LR → best-loss
     and periodic full-state checkpoints."""
-    save_dir = os.path.join("checkpoints", name)
+    save_dir = os.path.join(cfg.save_root, name)
     os.makedirs(save_dir, exist_ok=True)
     plateau = ReduceLROnPlateau(base_lr=cfg.lr_base)
 
@@ -86,9 +86,9 @@ def _run_epochs(
     global_step = 0
     for epoch in range(cfg.tot_epoch):
         epoch_loss, n_batches = 0.0, 0
-        for batch in batch_iterator(dataset, cfg.batch_size, seed=cfg.seed + epoch):
-            rng = jax.random.fold_in(rng, global_step)
-            state, metrics = step_fn(state, batch, rng)
+        for batch in batch_iterator(dataset, cfg.batch_size, seed=cfg.seed, epoch=epoch):
+            step_rng = jax.random.fold_in(rng, global_step)
+            state, metrics = step_fn(state, batch, step_rng)
             global_step += 1
             epoch_loss += float(metrics["loss"])
             n_batches += 1
