@@ -19,6 +19,7 @@ from .halo import (
 from .tiled import (
     TiledStreams,
     make_tiled_codec,
+    make_tiled_dsc,
     encode_tiles_to_streams,
     decode_streams_to_code,
 )
@@ -36,6 +37,7 @@ __all__ = [
     "validate_tile_extent",
     "TiledStreams",
     "make_tiled_codec",
+    "make_tiled_dsc",
     "encode_tiles_to_streams",
     "decode_streams_to_code",
     "halo_exchange_w",

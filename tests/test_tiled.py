@@ -1,22 +1,29 @@
-"""Tiled encode/decode: sharded forward parity + per-tile bitstream roundtrip."""
+"""Tiled encode/decode: sharded encoder/decoder parity + per-tile bitstream
+round trips (ragged-safe), for both the Ballé-17 and DSC codecs."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from iclr_17_compression_tpu.coding import build_cdf_tables_from_histogram
-from iclr_17_compression_tpu.models import Balle17Compressor
+from iclr_17_compression_tpu.models import (
+    DSC_PRESETS,
+    Balle17Compressor,
+    DSCStereoModel,
+)
 from iclr_17_compression_tpu.parallel import (
     TiledStreams,
     decode_streams_to_code,
     encode_tiles_to_streams,
     make_mesh,
     make_tiled_codec,
+    make_tiled_dsc,
 )
 
 
-def test_sharded_codec_matches_single_device(key):
-    """Full codec over an 8-way width-sharded image == unsharded result."""
+def test_tiled_balle17_matches_single_device(key):
+    """encode/decode over an 8-way width-sharded mesh == unsharded result."""
     model = Balle17Compressor(out_channel_n=16)
     x = jax.random.uniform(key, (1, 64, 256, 3), jnp.float32)
     params = model.init({"params": key, "quant": key}, x, train=False)
@@ -24,15 +31,51 @@ def test_sharded_codec_matches_single_device(key):
     ref = model.apply(params, x, train=False)
 
     mesh = make_mesh(n_data=1, n_tile=8)
-    forward = make_tiled_codec(model, params, mesh)
-    out = forward(x)
-
+    encode_fn, decode_fn = make_tiled_codec(model, params, mesh)
+    latent = encode_fn(x)
+    np.testing.assert_array_equal(np.asarray(latent), np.asarray(ref["latent"]))
+    recon = decode_fn(latent)
     np.testing.assert_allclose(
-        np.asarray(out["recon"]), np.asarray(ref["recon"]), rtol=1e-4, atol=1e-4
+        np.asarray(recon), np.asarray(ref["recon"]), rtol=1e-4, atol=1e-4
     )
-    np.testing.assert_array_equal(
-        np.asarray(out["latent"]), np.asarray(ref["latent"])
+
+
+def test_tiled_dsc_roundtrip_matches_single_device(key):
+    """DSC encode→per-tile rANS streams→decode over a 2-tile mesh, bit-parity
+    with the full model's eval forward (the flagship stack's topology)."""
+    model = DSCStereoModel(DSC_PRESETS["tiny"])
+    k1, k2 = jax.random.split(key)
+    im1 = jax.random.uniform(k1, (1, 64, 256, 3), jnp.float32)
+    im2 = jnp.clip(jnp.roll(im1, 4, axis=2) + 0.05 * jax.random.normal(k2, im1.shape), 0, 1)
+    params = model.init({"params": key, "quant": key}, im1, im2, train=False)
+
+    ref = model.apply(params, im1, im2, train=False)
+
+    mesh = make_mesh(n_data=1, n_tile=2, devices=jax.devices()[:2])
+    encode_fn, decode_fn = make_tiled_dsc(model, params, mesh)
+
+    code = encode_fn(im1)
+    np.testing.assert_array_equal(np.asarray(code), np.asarray(ref["code"]))
+
+    # per-tile entropy coding round trip (what each chip would emit)
+    step = float(model.config.coarse_step)
+    sym = np.round(np.asarray(code) / step).astype(np.int64)
+    codec = build_cdf_tables_from_histogram(sym, channel_axis=-1)
+    ts = encode_tiles_to_streams(np.asarray(code), codec, n_tiles=2, step=step)
+    rec_code = decode_streams_to_code(ts, codec, step=step)
+    np.testing.assert_array_equal(rec_code, np.asarray(code))
+
+    recon = decode_fn(rec_code, im2)
+    np.testing.assert_allclose(
+        np.asarray(recon), np.asarray(ref["recon"]), rtol=1e-4, atol=1e-4
     )
+
+
+def test_tiled_dsc_rejects_pam():
+    model = DSCStereoModel(DSC_PRESETS["pam_0031bpp"])
+    mesh = make_mesh(n_data=1, n_tile=2, devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="pam"):
+        make_tiled_dsc(model, params=None, mesh=mesh)
 
 
 def test_per_tile_stream_roundtrip(rng):
@@ -45,8 +88,24 @@ def test_per_tile_stream_roundtrip(rng):
     rec = decode_streams_to_code(ts, codec, step=16.0)
     np.testing.assert_array_equal(rec, code)
 
-    # serialize roundtrip
+    # serialize roundtrip (shapes in-band)
     blob = ts.serialize()
-    ts2 = TiledStreams.deserialize(blob, ts.tile_shape)
+    ts2 = TiledStreams.deserialize(blob)
     rec2 = decode_streams_to_code(ts2, codec, step=16.0)
     np.testing.assert_array_equal(rec2, code)
+
+
+def test_per_tile_stream_ragged(rng):
+    """W=10 over 4 tiles → ragged [3,3,2,2] split must round-trip exactly."""
+    code = (rng.integers(-8, 9, size=(1, 4, 10, 6)) * 16).astype(np.float32)
+    sym = np.round(code / 16).astype(np.int64)
+    codec = build_cdf_tables_from_histogram(sym, channel_axis=-1)
+
+    ts = encode_tiles_to_streams(code, codec, n_tiles=4, step=16.0)
+    assert [s[2] for s in ts.tile_shapes] == [3, 3, 2, 2]
+    rec = decode_streams_to_code(ts, codec, step=16.0)
+    np.testing.assert_array_equal(rec, code)
+
+    ts2 = TiledStreams.deserialize(ts.serialize())
+    assert ts2.tile_shapes == ts.tile_shapes
+    np.testing.assert_array_equal(decode_streams_to_code(ts2, codec, step=16.0), code)
