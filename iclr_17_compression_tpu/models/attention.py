@@ -132,26 +132,47 @@ class PatchMatchAttention(fnn.Module):
 
 
 class NLBlock(fnn.Module):
-    """Non-local block (2-D), reference models/bottleneck_Att.py:269-396.
+    """Non-local block, reference models/bottleneck_Att.py:269-396.
 
     modes: 'gaussian' | 'embedded' | 'dot' | 'concatenate'.
-    z = W_z(y) + x with y = f(x_i, x_j)-weighted aggregation of g(x).
+    dims:  1 (temporal), 2 (spatial), 3 (spatiotemporal) — input is
+           channels-last, (N, *spatial, C) with len(spatial) == dims. A k=1
+           conv is pointwise over tokens in any dimensionality, so all
+           projections run as one dense matmul over the flattened token axis
+           (MXU-shaped) regardless of dims.
+    z = W_z(y) + x with y = f(x_i, x_j)-weighted aggregation of g(x);
+    W_z is zero-initialized so the block starts as the identity (the
+    reference's no-BN branch, bottleneck_Att.py:388-391).
     """
 
     in_channels: int
     inter_channels: Optional[int] = None
     mode: str = "embedded"
+    dims: int = 2
 
     @fnn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.mode not in ("gaussian", "embedded", "dot", "concatenate"):
             raise ValueError(self.mode)
+        if self.dims not in (1, 2, 3):
+            raise ValueError(f"dims must be 1, 2, or 3, got {self.dims}")
+        if x.ndim != self.dims + 2:
+            raise ValueError(
+                f"{self.dims}-D NLBlock expects rank-{self.dims + 2} input, "
+                f"got shape {x.shape}"
+            )
         c_in = self.in_channels
         c_int = self.inter_channels or max(c_in // 2, 1)
-        n, h, w, _ = x.shape
-        tokens = h * w
+        n = x.shape[0]
+        spatial = x.shape[1:-1]
+        tokens = 1
+        for s in spatial:
+            tokens *= s
+        # pointwise convs run on the flattened (N, tokens, 1, C) grid — same
+        # parameters as a 1×1 ConvNd, valid for dims 1/2/3
+        xt = x.reshape(n, tokens, 1, c_in)
 
-        g = TorchConv(c_int, 1, name="g")(x).reshape(n, tokens, c_int)
+        g = TorchConv(c_int, 1, name="g")(xt).reshape(n, tokens, c_int)
 
         if self.mode == "gaussian":
             theta = x.reshape(n, tokens, c_in)
@@ -159,13 +180,13 @@ class NLBlock(fnn.Module):
             f = jnp.einsum("bic,bjc->bij", theta, phi)
             att = jax.nn.softmax(f, axis=-1)
         elif self.mode in ("embedded", "dot"):
-            theta = TorchConv(c_int, 1, name="theta")(x).reshape(n, tokens, c_int)
-            phi = TorchConv(c_int, 1, name="phi")(x).reshape(n, tokens, c_int)
+            theta = TorchConv(c_int, 1, name="theta")(xt).reshape(n, tokens, c_int)
+            phi = TorchConv(c_int, 1, name="phi")(xt).reshape(n, tokens, c_int)
             f = jnp.einsum("bic,bjc->bij", theta, phi)
             att = jax.nn.softmax(f, axis=-1) if self.mode == "embedded" else f / tokens
         else:  # concatenate
-            theta = TorchConv(c_int, 1, name="theta")(x).reshape(n, tokens, c_int)
-            phi = TorchConv(c_int, 1, name="phi")(x).reshape(n, tokens, c_int)
+            theta = TorchConv(c_int, 1, name="theta")(xt).reshape(n, tokens, c_int)
+            phi = TorchConv(c_int, 1, name="phi")(xt).reshape(n, tokens, c_int)
             ti = jnp.broadcast_to(theta[:, :, None, :], (n, tokens, tokens, c_int))
             pj = jnp.broadcast_to(phi[:, None, :, :], (n, tokens, tokens, c_int))
             cat = jnp.concatenate([ti, pj], axis=-1)
@@ -175,6 +196,9 @@ class NLBlock(fnn.Module):
             f = jax.nn.relu(f).reshape(n, tokens, tokens)
             att = f / tokens
 
-        y = jnp.einsum("bij,bjc->bic", att, g).reshape(n, h, w, c_int)
-        w_z = TorchConv(c_in, 1, name="w_z")(y)
-        return w_z + x
+        y = jnp.einsum("bij,bjc->bic", att, g).reshape(n, tokens, 1, c_int)
+        w_z = TorchConv(
+            c_in, 1, name="w_z",
+            weight_init=fnn.initializers.zeros, bias_init=fnn.initializers.zeros,
+        )(y)
+        return w_z.reshape(x.shape[:-1] + (c_in,)) + x

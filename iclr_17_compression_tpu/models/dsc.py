@@ -329,6 +329,8 @@ class DSCStereoModel(fnn.Module):
                 loss_base = 1.0 - 0.5 * (ms_full + ms2)
             else:
                 loss_base = loss_full
+            # reference parity: the MS-SSIM branch hardcodes mse_on_z = 1
+            # (models/temp.py:308; it never contributes to the DSC loss)
             loss_z = jnp.float32(1.0)
         else:  # mse
             loss_z = jnp.mean((fused - z1) ** 2)

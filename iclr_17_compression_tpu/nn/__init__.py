@@ -9,6 +9,8 @@ from .layers import (
 )
 from .blocks import (
     ResidualBlock,
+    ResidualBlock11,
+    ResidualBlock33,
     ResidualBlockWithStride,
     ResidualBlockUpsample,
     AttentionBlock,
@@ -24,6 +26,8 @@ __all__ = [
     "torch_conv_default_init",
     "xavier_normal_gain",
     "ResidualBlock",
+    "ResidualBlock11",
+    "ResidualBlock33",
     "ResidualBlockWithStride",
     "ResidualBlockUpsample",
     "AttentionBlock",

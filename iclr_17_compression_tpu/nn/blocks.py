@@ -89,6 +89,44 @@ class ResidualBlockWithStride(fnn.Module):
         return out + x
 
 
+class ResidualBlock11(fnn.Module):
+    """Pointwise residual unit — 1×1 conv, leaky ReLU, 1×1 conv, leaky ReLU,
+    plus a 1×1-projected skip when channels change (reference
+    models/bottleneck_Att.py:57-87, used by the attention experiments)."""
+
+    features: int
+    stride: int = 1
+
+    @fnn.compact
+    def __call__(self, x):
+        out = conv1x1(self.features, stride=self.stride, name="conv1")(x)
+        out = fnn.leaky_relu(out)
+        out = conv1x1(self.features, name="conv2")(out)
+        out = fnn.leaky_relu(out)
+        if x.shape[-1] != self.features:
+            x = conv1x1(self.features, name="skip")(x)
+        return out + x
+
+
+class ResidualBlock33(fnn.Module):
+    """'Residual' 3×3+1×1 unit that the reference left with its skip path
+    commented out and VALID padding (models/bottleneck_Att.py:89-119):
+    conv 3×3 (no padding → spatial −2), ReLU, conv 1×1, ReLU, no skip.
+    Reproduced as-is for checkpoint parity."""
+
+    features: int
+    stride: int = 1
+
+    @fnn.compact
+    def __call__(self, x):
+        out = TorchConv(
+            self.features, 3, stride=self.stride, padding=0, name="conv1"
+        )(x)
+        out = jax.nn.relu(out)
+        out = conv1x1(self.features, name="conv2")(out)
+        return jax.nn.relu(out)
+
+
 class ResidualBlockUpsample(fnn.Module):
     features: int
     upsample: int = 2

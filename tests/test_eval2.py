@@ -127,3 +127,22 @@ class TestKodakRans:
         # bounds too narrow → hard error, never a silent clip
         with pytest.raises(ValueError, match="rANS"):
             eval_kodak(model, params, imgs, use_rans=True, rans_bounds=(0, 0))
+
+
+class TestBestWorstDump:
+    def test_eval_single_image_dumps(self, key, tmp_path):
+        import os
+
+        from iclr_17_compression_tpu.eval import eval_single_image
+        from iclr_17_compression_tpu.models import Balle17Compressor
+
+        model = Balle17Compressor(out_channel_n=8)
+        x = jax.random.uniform(key, (1, 64, 64, 3), jnp.float32)
+        params = model.init({"params": key, "quant": key}, x, train=False)
+        imgs = [np.asarray(jax.random.uniform(jax.random.fold_in(key, i), (64, 64, 3)))
+                for i in range(3)]
+        res = eval_single_image(model, params, imgs, dump_dir=str(tmp_path / "d"))
+        assert res["best"]["psnr"] >= res["worst"]["psnr"]
+        files = os.listdir(tmp_path / "d")
+        assert sum(f.startswith("best_recon") for f in files) == 1
+        assert sum(f.startswith("worst_original") for f in files) == 1

@@ -173,3 +173,48 @@ class TestNLBlock:
         out = m.apply(params, x)
         assert out.shape == x.shape
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestNLBlockDims:
+    @pytest.mark.parametrize("dims,shape", [(1, (1, 12, 8)), (3, (1, 3, 4, 4, 8))])
+    def test_1d_3d(self, key, dims, shape):
+        m = NLBlock(in_channels=8, mode="embedded", dims=dims)
+        x = jax.random.normal(key, shape)
+        params = m.init(key, x)
+        out = m.apply(params, x)
+        assert out.shape == x.shape
+        # W_z zero-init → the block starts as the identity
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+    def test_rank_mismatch_raises(self, key):
+        m = NLBlock(in_channels=8, dims=1)
+        x = jax.random.normal(key, (1, 4, 4, 8))
+        with pytest.raises(ValueError, match="rank"):
+            m.init(key, x)
+
+
+class TestResidualUnits:
+    def test_rb11_shapes_and_skip(self, key):
+        from iclr_17_compression_tpu.nn import ResidualBlock11
+
+        m = ResidualBlock11(features=16)
+        x = jax.random.normal(key, (1, 8, 8, 8))
+        params = m.init(key, x)
+        out = m.apply(params, x)
+        assert out.shape == (1, 8, 8, 16)
+        assert "skip" in params["params"]  # 8→16 channels: projected skip
+        # same-channels: identity skip, no extra params
+        m2 = ResidualBlock11(features=8)
+        p2 = m2.init(key, x)
+        assert "skip" not in p2["params"]
+
+    def test_rb33_valid_padding_no_skip(self, key):
+        from iclr_17_compression_tpu.nn import ResidualBlock33
+
+        m = ResidualBlock33(features=8)
+        x = jax.random.normal(key, (1, 8, 8, 8))
+        params = m.init(key, x)
+        out = m.apply(params, x)
+        # reference conv has no padding → spatial −2; skip is commented out
+        assert out.shape == (1, 6, 6, 8)
+        assert float(jnp.min(out)) >= 0.0  # ends in ReLU
