@@ -1,11 +1,10 @@
-"""Benchmark: Kodak-size encode+decode throughput on one chip.
+"""Benchmark: codec throughput on one chip, all three codec families.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "Mpixels/s/chip", "vs_baseline": N}
-
-Measures the flagship Ballé-17 codec (BASELINE config #1: 768×512 Kodak
-frames) end-to-end on-device: analysis transform + rounding + synthesis
-transform + rate estimation, jitted, steady-state.
+Prints ONE JSON line. The headline metric stays the Ballé-17 Kodak
+encode+decode pipeline (bf16 storage — the serving configuration); the
+``extra`` field carries the fp32-storage run, the flagship DSC stereo codec
+at the KITTI eval shape, the joint-autoregressive codec, and XLA-counted
+FLOPs → achieved TFLOP/s → MFU for each (see BASELINE.md §roofline).
 
 Measurement rules learned the hard way on this backend:
 - repeated identical-arg dispatches can be elided → distinct input buffers;
@@ -15,96 +14,216 @@ Measurement rules learned the hard way on this backend:
   ~3e-3 conv error is far below the quantizer's step; training keeps the
   exact-fp32 policy (see ops/precision.py).
 
-The reference publishes no throughput numbers (SURVEY.md §6), so
-``vs_baseline`` compares against ``bench_baseline.json`` (previous best,
-committed when improved); 1.0 on first run.
+``vs_baseline`` compares the headline number against ``bench_baseline.json``
+(previous best at the SAME config — batch and storage dtype are recorded
+there and in the output line so the ratio stays apples-to-apples).
+
+The reference publishes no throughput numbers (SURVEY.md §6); the roofline
+that calibrates these numbers is written down in BASELINE.md.
 """
 
 import json
 import os
 import time
 
-os.environ.setdefault("ICLR17C_PRECISION", "default")  # bf16 inference mode
+os.environ.setdefault("ICLR17C_PRECISION", "default")  # bf16 MXU inference mode
 
 import jax
 import jax.numpy as jnp
+
+# bf16 peak of one v5e chip; override for other hardware.
+PEAK_FLOPS = float(os.environ.get("ICLR17C_PEAK_TFLOPS", "394")) * 1e12
+
+
+def _measure(step_fn, inputs, rounds: int = 3) -> float:
+    """Best wall-clock for one pass over ``inputs`` (one sync per round).
+
+    Two warmup passes first: compile + drain the tunnel's cold start (the
+    first ~1 s of dispatches in a fresh process run 5-10x slower than steady
+    state; measured 72 ms/iter cold vs 9 ms warm).
+    """
+    for _ in range(2):
+        total = float(sum(step_fn(x) for x in inputs))
+        assert total == total  # NaN guard
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        total = float(sum(step_fn(x) for x in inputs))
+        dt = time.perf_counter() - t0
+        assert total == total
+        best = min(best, dt)
+    return best
+
+
+def _distinct(x, iters):
+    xs = [x + 0.001 * i for i in range(iters)]
+    for v in xs:
+        float(jnp.sum(v))  # materialize distinct buffers
+    return xs
+
+
+def _flops_of(jitted, *args):
+    """XLA's own cost model for one call; None when unavailable."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
+def bench_balle17(storage_dtype) -> dict:
+    """Kodak-size encode+decode (BASELINE config #1), batch 128.
+
+    Batch 128 keeps ~50 ms of device work per dispatch — enough to amortize
+    the ~2 ms/dispatch tunnel floor to <5% (batch 8 measured 394 Mpix/s,
+    batch 32 → 530, batch 128 → ~1190; beyond this the curve is flat).
+    """
+    from iclr_17_compression_tpu.models import Balle17Compressor
+    from iclr_17_compression_tpu.ops.precision import cast_storage
+
+    h, w, batch = 512, 768, 128
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.uniform(rng, (batch, h, w, 3), jnp.float32)
+
+    model = Balle17Compressor(out_channel_n=128)
+    params = model.init({"params": rng, "quant": rng}, images, train=False)
+    if storage_dtype == jnp.bfloat16:
+        # bf16 STORAGE: params + input cast once → every inter-stage
+        # activation lives in HBM as bf16 (the pipeline is HBM-heavy).
+        params = cast_storage(params, jnp.bfloat16)
+        images = images.astype(jnp.bfloat16)
+
+    @jax.jit
+    def encode_decode(x):
+        out = model.apply(params, x, train=False)
+        # fold every output into one scalar so a single host fetch
+        # synchronizes the full computation
+        return (
+            jnp.sum(out["recon"][::3, ::7, ::11])
+            + jnp.sum(out["latent"][::5, ::3, ::13])
+            + out["bpp"]
+        )
+
+    iters = 8
+    inputs = _distinct(images, iters)
+    dt = _measure(encode_decode, inputs)
+    mpix = batch * h * w * iters / dt / 1e6
+    flops = _flops_of(encode_decode, inputs[0])
+    return {
+        "mpix_s": round(mpix, 3),
+        "batch": batch,
+        "shape": [h, w],
+        "tflops_s": round(flops * iters / dt / 1e12, 2) if flops else None,
+        "mfu": round(flops * iters / dt / PEAK_FLOPS, 4) if flops else None,
+    }
+
+
+def bench_dsc() -> dict:
+    """Flagship DSC stereo codec (temp_0031bpp) eval forward at the KITTI
+    eval shape 320×1216 (reference NewTests/test_new_model_reconAndSimilarity
+    CenterCrop 320×1224 floored to ×32). Throughput counts im1 pixels —
+    the pixels actually being transmitted."""
+    from iclr_17_compression_tpu.models import DSC_PRESETS, DSCStereoModel
+    from iclr_17_compression_tpu.ops.precision import cast_storage
+
+    h, w, batch = 320, 1216, 4
+    rng = jax.random.PRNGKey(1)
+    im1 = jax.random.uniform(rng, (batch, h, w, 3), jnp.float32)
+    im2 = jax.random.uniform(jax.random.fold_in(rng, 1), (batch, h, w, 3), jnp.float32)
+
+    model = DSCStereoModel(DSC_PRESETS["temp_0031bpp"])
+    params = model.init({"params": rng, "quant": rng}, im1, im2, train=False)
+    params = cast_storage(params, jnp.bfloat16)
+    im1 = im1.astype(jnp.bfloat16)
+    im2 = im2.astype(jnp.bfloat16)
+
+    @jax.jit
+    def forward(x1):
+        out = model.apply(params, x1, im2, train=False)
+        return jnp.sum(out["recon"][::3, ::7, ::11]) + jnp.sum(out["code"])
+
+    iters = 4
+    inputs = _distinct(im1, iters)
+    dt = _measure(forward, inputs)
+    mpix = batch * h * w * iters / dt / 1e6
+    flops = _flops_of(forward, inputs[0])
+    return {
+        "mpix_s": round(mpix, 3),
+        "batch": batch,
+        "shape": [h, w],
+        "tflops_s": round(flops * iters / dt / 1e12, 2) if flops else None,
+        "mfu": round(flops * iters / dt / PEAK_FLOPS, 4) if flops else None,
+    }
+
+
+def bench_joint() -> dict:
+    """Joint-autoregressive codec (Cheng-2020 anchor) eval forward at Kodak
+    shape — transforms + hyperprior + one-pass masked-conv context (the
+    training/eval graph; sequential decode is benched by codec_cli)."""
+    from iclr_17_compression_tpu.models import JointAutoregressive
+    from iclr_17_compression_tpu.ops.precision import cast_storage
+
+    h, w, batch = 512, 768, 16
+    rng = jax.random.PRNGKey(2)
+    images = jax.random.uniform(rng, (batch, h, w, 3), jnp.float32)
+
+    model = JointAutoregressive(n=192)
+    params = model.init({"params": rng, "quant": rng}, images, train=False)
+    params = cast_storage(params, jnp.bfloat16)
+    images = images.astype(jnp.bfloat16)
+
+    @jax.jit
+    def forward(x):
+        out = model.apply(params, x, train=False)
+        return jnp.sum(out["recon"][::3, ::7, ::11]) + out["bpp"]
+
+    iters = 4
+    inputs = _distinct(images, iters)
+    dt = _measure(forward, inputs)
+    mpix = batch * h * w * iters / dt / 1e6
+    flops = _flops_of(forward, inputs[0])
+    return {
+        "mpix_s": round(mpix, 3),
+        "batch": batch,
+        "shape": [h, w],
+        "tflops_s": round(flops * iters / dt / 1e12, 2) if flops else None,
+        "mfu": round(flops * iters / dt / PEAK_FLOPS, 4) if flops else None,
+    }
 
 
 def main():
     from iclr_17_compression_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    from iclr_17_compression_tpu.models import Balle17Compressor
 
-    h, w, batch = 512, 768, 128  # Kodak-size frames; batch amortizes dispatch
-    # (throughput metric: 32 frames in flight is a realistic serving batch;
-    #  measured 394 Mpix/s at batch 8 vs 530 at batch 32 - the ~2 ms/dispatch
-    #  tunnel floor dominates small batches)
-    rng = jax.random.PRNGKey(0)
-    images = jax.random.uniform(rng, (batch, h, w, 3), jnp.float32)
-
-    model = Balle17Compressor(out_channel_n=128)
-    params = model.init({"params": rng, "quant": rng}, images, train=False)
-
-    # bf16 STORAGE inference: params + input cast once, every inter-stage
-    # activation then lives in HBM as bf16 (the pipeline is HBM-bound).
-    # Measured +32% over fp32 storage; error is quantizer-dominated.
-    # Opt out with ICLR17C_BENCH_STORAGE=float32.
-    if os.environ.get("ICLR17C_BENCH_STORAGE", "bfloat16") == "bfloat16":
-        from iclr_17_compression_tpu.ops.precision import cast_storage
-
-        params = cast_storage(params, jnp.bfloat16)
-        images = images.astype(jnp.bfloat16)
-
-    @jax.jit
-    def encode_decode(params, x):
-        out = model.apply(params, x, train=False)
-        # fold every output into one scalar so a single host fetch
-        # synchronizes the full computation
-        probe = (
-            jnp.sum(out["recon"][::3, ::7, ::11])
-            + jnp.sum(out["latent"][::5, ::3, ::13])
-            + out["bpp"]
-        )
-        return probe
-
-    iters = 8
-    inputs = [images + 0.001 * i for i in range(iters)]
-    for x in inputs:
-        float(jnp.sum(x))  # materialize distinct buffers
-
-    # Warmup: compile + drain the tunnel's cold-start (the first ~1 s of
-    # dispatches in a fresh process run 5-10x slower than steady state;
-    # measured 72 ms/iter cold vs 9 ms warm). Two full passes, synced.
-    for _ in range(2):
-        total = float(sum(encode_decode(params, x) for x in inputs))
-        assert total == total  # NaN guard
-
-    # Steady state: best of 3 rounds (one sync point per round).
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        total = float(sum(encode_decode(params, x) for x in inputs))
-        dt = time.perf_counter() - t0
-        assert total == total
-        best_dt = min(best_dt, dt)
-
-    mpix = batch * h * w * iters / best_dt / 1e6
+    primary = bench_balle17(jnp.bfloat16)
+    extra = {"device": jax.devices()[0].device_kind}
+    if os.environ.get("ICLR17C_BENCH_FULL", "1") != "0":
+        extra["balle17_fp32"] = bench_balle17(jnp.float32)
+        extra["dsc_0031bpp"] = bench_dsc()
+        extra["joint_ar"] = bench_joint()
+    extra["balle17_bf16"] = {k: v for k, v in primary.items() if k != "mpix_s"}
 
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     vs = 1.0
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
-            base = json.load(f).get("value", mpix)
-        vs = mpix / base if base else 1.0
+            base = json.load(f)
+        if base.get("batch") == primary["batch"] and base.get("storage") == "bfloat16":
+            vs = primary["mpix_s"] / base["value"] if base.get("value") else 1.0
 
     print(
         json.dumps(
             {
                 "metric": "balle17_kodak768x512_encode_decode_throughput",
-                "value": round(mpix, 3),
+                "value": primary["mpix_s"],
                 "unit": "Mpixels/s/chip",
                 "vs_baseline": round(vs, 4),
+                "batch": primary["batch"],
+                "storage_dtype": "bfloat16",
+                "extra": extra,
             }
         )
     )

@@ -69,7 +69,15 @@ def _use_pallas_kernel() -> bool:
     barrier, and XLA otherwise folds GDN's square/rsqrt/mul into the
     adjacent convs. Default is therefore the XLA path; the kernel stays as
     an opt-in for standalone-GDN-heavy pipelines and as the template for
-    wider fused epilogues."""
+    wider fused epilogues.
+
+    Round 2 took the fusion-barrier argument to its conclusion and fused the
+    CONV ITSELF with the GDN epilogue (ops/pallas/conv_gdn_kernel.py: each
+    strided conv phase-decomposed to 9 MXU tap-matmuls + GDN in one VMEM
+    pass, halo DMA double-buffered). It also loses: 847 vs 1384 Mpix/s on
+    the full encoder (numbers + diagnosis in that module's docstring). The
+    XLA conv pipeline is simply better at this shape regime; both kernels
+    remain opt-in, and the honest policy stands: default XLA."""
     import os
 
     return os.environ.get("ICLR17C_GDN_KERNEL", "xla") == "pallas"

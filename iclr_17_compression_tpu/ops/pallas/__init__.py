@@ -5,5 +5,6 @@ Pallas TPU lowering is unavailable (tests run them in interpreter mode).
 """
 
 from .gdn_kernel import gdn_pallas
+from .conv_gdn_kernel import analysis17_fused, conv_gdn
 
-__all__ = ["gdn_pallas"]
+__all__ = ["gdn_pallas", "conv_gdn", "analysis17_fused"]

@@ -256,7 +256,19 @@ def train_dsc(cfg: TrainConfig, name: str, pretrain: str = "", resume: str = "")
     state = put_replicated(state, mesh)
 
     dataset = make_stereo_dataset(cfg)
+    val_set = None
+    if cfg.test_dir:
+        # reference train_2StepsNet.py:221-256: per-epoch validation pass +
+        # best-val checkpoint alongside best-train
+        val_set = StereoKittiDataset(cfg.test_dir.split(","), train=False, seed=cfg.seed)
+
+        @jax.jit
+        def val_step(params, im1, im2):
+            out = model.apply({"params": params}, im1, im2, train=False)
+            return out["loss_full"]
+
     best_loss = float("inf")
+    best_val = float("inf")
     mlog = MetricsLogger(save_dir, tensorboard=cfg.tensorboard)
     prof = ProfileWindow(cfg.profile_dir, cfg.profile_start_step, cfg.profile_num_steps)
     global_step = int(state.step)
@@ -288,6 +300,19 @@ def train_dsc(cfg: TrainConfig, name: str, pretrain: str = "", resume: str = "")
         if epoch_loss < best_loss:
             best_loss = epoch_loss
             save_train_state(state, save_dir, "best_train", epoch, epoch_loss)
+        if val_set is not None:
+            v_sum, v_n = 0.0, 0
+            for v1, v2 in batch_iterator(
+                val_set, 1, shuffle=False, seed=0, drop_last=False
+            ):
+                v_sum += float(val_step(state.params, jnp.asarray(v1), jnp.asarray(v2)))
+                v_n += 1
+            val_loss = v_sum / max(v_n, 1)
+            mlog.log(global_step, {"val_loss": val_loss}, prefix="epoch/")
+            if val_loss < best_val:
+                best_val = val_loss
+                save_train_state(state, save_dir, "best_val", epoch, val_loss)
+            logger.info("epoch %d val: loss=%.5f (best %.5f)", epoch, val_loss, best_val)
         if epoch % 10 == 0:
             save_train_state(state, save_dir, f"epoch_{epoch}", epoch, epoch_loss)
         save_train_state(

@@ -167,12 +167,14 @@ class TestResume:
             mesh_data=1,
             mesh_tile=1,
             train_dir=str(tmp_path / "kitti"),
+            test_dir=str(tmp_path / "kitti"),  # exercises the best-val pass
             save_root=str(tmp_path / "ckpt"),
             tensorboard=False,
             print_freq=1000,
             num_workers=0,
         )
         train_dsc(cfg, "d1")
+        assert os.path.exists(os.path.join(cfg.save_root, "d1", "best_val.ckpt"))
         # epoch 0 done → resume starts at epoch 1 and runs one more epoch
         state = train_dsc(
             dataclasses.replace(cfg, tot_epoch=2), "d1",

@@ -59,3 +59,70 @@ class TestGDNPallas:
         out = gdn_pallas(x, params, interpret=True)
         ref = gdn(x, params)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+class TestConvGDNFused:
+    """Fused strided-conv+GDN kernel (ops/pallas/conv_gdn_kernel.py)."""
+
+    def test_conv5x5s2_gdn_matches_ref(self, key):
+        from iclr_17_compression_tpu.ops.pallas.conv_gdn_kernel import (
+            _ref_conv_gdn,
+            conv_gdn,
+        )
+
+        x = jax.random.normal(key, (2, 64, 64, 32)) * 0.5
+        w = jax.random.normal(jax.random.fold_in(key, 1), (5, 5, 32, 32)) * 0.05
+        b = jax.random.normal(jax.random.fold_in(key, 2), (32,)) * 0.01
+        gp = gdn_param_init(32)
+        ref = _ref_conv_gdn(x, w, b, gp, 2, 2, False)
+        out = conv_gdn(x, w, b, gp, 2, 2, False, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_conv9x9s4_no_gdn(self, key):
+        from iclr_17_compression_tpu.ops.pallas.conv_gdn_kernel import (
+            _ref_conv_gdn,
+            conv_gdn,
+        )
+
+        x = jax.random.normal(key, (1, 64, 96, 3))
+        w = jax.random.normal(jax.random.fold_in(key, 3), (9, 9, 3, 32)) * 0.05
+        ref = _ref_conv_gdn(x, w, None, None, 4, 4, False)
+        out = conv_gdn(x, w, None, None, 4, 4, False, True)
+        assert out.shape == (1, 16, 24, 32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_igdn_epilogue_and_grads(self, key):
+        from iclr_17_compression_tpu.ops.pallas.conv_gdn_kernel import (
+            _ref_conv_gdn,
+            conv_gdn,
+        )
+
+        x = jax.random.normal(key, (1, 32, 32, 16)) * 0.5
+        w = jax.random.normal(jax.random.fold_in(key, 1), (5, 5, 16, 16)) * 0.05
+        b = jnp.zeros((16,))
+        gp = gdn_param_init(16)
+        ref = _ref_conv_gdn(x, w, b, gp, 2, 2, True)
+        out = conv_gdn(x, w, b, gp, 2, 2, True, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+        def loss_p(x, w, b, gp):
+            return jnp.mean(conv_gdn(x, w, b, gp, 2, 2, False, True) ** 2)
+
+        def loss_r(x, w, b, gp):
+            return jnp.mean(_ref_conv_gdn(x, w, b, gp, 2, 2, False) ** 2)
+
+        g1 = jax.grad(loss_p, argnums=(0, 1, 3))(x, w, b, gp)
+        g2 = jax.grad(loss_r, argnums=(0, 1, 3))(x, w, b, gp)
+        for a, c in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-5)
+
+    def test_analysis17_fused_matches_module(self, key):
+        from iclr_17_compression_tpu.models.balle17 import Analysis17
+        from iclr_17_compression_tpu.ops.pallas.conv_gdn_kernel import analysis17_fused
+
+        model = Analysis17(16)
+        x = jax.random.uniform(key, (1, 64, 64, 3), jnp.float32)
+        params = model.init(key, x)
+        ref = model.apply(params, x)
+        out = analysis17_fused(params["params"], x, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
