@@ -25,6 +25,7 @@ ConvTranspose equivalence (exact, incl. output_padding):
   (H-1)*s - 2p + k + op, matching torch.
 """
 
+import os
 from typing import Optional, Sequence, Tuple, Union
 
 import jax
@@ -34,6 +35,12 @@ from jax import lax
 from .precision import get_precision
 
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _S2D_DISABLED() -> bool:
+    """Escape hatch (``ICLR17C_NO_S2D=1``) for A/B-ing the space-to-depth
+    first-layer conv path against the direct lowering."""
+    return os.environ.get("ICLR17C_NO_S2D", "0") == "1"
 
 
 def _pair(v: Union[int, Sequence[int]]) -> Tuple[int, int]:
@@ -62,19 +69,88 @@ def conv2d(
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     dh, dw = _pair(dilation)
-    out = lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(sh, sw),
-        padding=((ph, ph), (pw, pw)),
-        rhs_dilation=(dh, dw),
-        dimension_numbers=_DIMNUMS,
-        feature_group_count=groups,
-        precision=get_precision(precision),
-    )
+    if (
+        groups == 1
+        and (dh, dw) == (1, 1)
+        and max(sh, sw) > 1
+        and x.shape[3] <= 4
+        and not _S2D_DISABLED()
+    ):
+        # small-Cin strided conv (first layer, Cin=3): space-to-depth form —
+        # the direct lowering wastes ~97% of the MXU contraction lanes.
+        out = _conv_s2d(x, w, (sh, sw), (ph, pw), get_precision(precision))
+    else:
+        out = lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(sh, sw),
+            padding=((ph, ph), (pw, pw)),
+            rhs_dilation=(dh, dw),
+            dimension_numbers=_DIMNUMS,
+            feature_group_count=groups,
+            precision=get_precision(precision),
+        )
     if b is not None:
         out = out + b
     return out
+
+
+def _conv_s2d(x, w, strides, pads, precision):
+    """Strided conv as space-to-depth + dense stride-1 conv (exact).
+
+    A stride-s conv with Cin=3 maps terribly onto the MXU: the contraction
+    lanes see 3 (padded-to-8) input channels. Rearranging s×s input blocks
+    into channels (Cin·s² channels, e.g. 48 for the Ballé-17 9×9/s4 first
+    stage) and folding the kernel accordingly yields an equivalent stride-1
+    conv whose contraction dim fills the lanes — the dual of the phase-fused
+    transposed conv below (``_conv_transpose_fused``). Identity:
+      y[oh] = Σ_kh w[kh]·x[s·oh − p + kh]
+    pre-pad left by pl = ceil(p/s)·s (shift q = pl − p < s), so input index
+    u = s·oh + kh + q; block bh = u//s, phase rh = u%s. The folded kernel is
+    w zero-padded to (s·K2) taps then reshaped (K2, s) — one pad+reshape, no
+    per-tap scatter. Extra zero taps cost ≤(s·K2/k)× nominal MACs but the
+    lane utilization gain is ~s² (measured: see bench/BASELINE.md).
+    """
+    sh, sw = strides
+    ph, pw = pads
+    kh, kw, cin, cout = w.shape
+    n, h, win, _ = x.shape
+    hout = (h + 2 * ph - kh) // sh + 1
+    wout = (win + 2 * pw - kw) // sw + 1
+    plh = -(-ph // sh) * sh
+    plw = -(-pw // sw) * sw
+    qh, qw = plh - ph, plw - pw
+    k2h = (kh - 1 + qh) // sh + 1
+    k2w = (kw - 1 + qw) // sw + 1
+    lh = sh * (hout + k2h - 1)
+    lw = sw * (wout + k2w - 1)
+
+    xp = jnp.pad(
+        x,
+        (
+            (0, 0),
+            (plh, max(0, lh - h - plh)),
+            (plw, max(0, lw - win - plw)),
+            (0, 0),
+        ),
+    )[:, :lh, :lw]
+    xb = xp.reshape(n, lh // sh, sh, lw // sw, sw, cin)
+    xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, lh // sh, lw // sw, sh * sw * cin
+    )
+
+    wp = jnp.pad(
+        w,
+        ((qh, sh * k2h - kh - qh), (qw, sw * k2w - kw - qw), (0, 0), (0, 0)),
+    )
+    w2 = wp.reshape(k2h, sh, k2w, sw, cin, cout)
+    w2 = w2.transpose(0, 2, 1, 3, 4, 5).reshape(k2h, k2w, sh * sw * cin, cout)
+
+    return lax.conv_general_dilated(
+        xb, w2, (1, 1), "VALID",
+        dimension_numbers=_DIMNUMS,
+        precision=precision,
+    )
 
 
 def conv_transpose2d(
