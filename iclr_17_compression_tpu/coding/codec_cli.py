@@ -226,31 +226,39 @@ def encode_image(image: np.ndarray, spec: str, params, n: int = 128) -> bytes:
     return head + _encode_dsc_payload(x, model.config, params)
 
 
+def serialize_dsc_code(syms: np.ndarray, step: float, code_clip) -> bytes:
+    """Serialize one DSC coarse code (h, w, c) of step-grid integer symbols:
+    shape/step/table header + per-channel freq tables + rANS stream — the
+    exact bytes the ``.icz`` container carries, so rate accounting elsewhere
+    (eval/stereo.py) measures real file bytes, headers included."""
+    from .api import build_cdf_tables_from_histogram, encode_latent
+
+    syms = np.asarray(syms, np.int64)
+    if code_clip is not None:
+        lim = int(code_clip / step)
+        syms = np.clip(syms, -lim, lim)
+        offset, nsym = -lim, 2 * lim + 1
+    else:
+        offset, nsym = int(syms.min()), int(syms.max()) - int(syms.min()) + 1
+    codec = build_cdf_tables_from_histogram(syms, offset=offset, nsym=nsym)
+    stream = encode_latent(codec, syms)
+    ch, cw, cc = syms.shape
+    payload = struct.pack("<HHHfhH", ch, cw, cc, float(step), offset, nsym)
+    payload += codec.freqs.astype(np.uint32).tobytes()
+    return payload + _pack_bytes(stream)
+
+
 def _encode_dsc_payload(x: np.ndarray, cfg, params) -> bytes:
     """One DSC coarse-code payload: shape/step/table header + rANS stream."""
     import jax.numpy as jnp
 
     from ..models.dsc import _Stack
-    from .api import build_cdf_tables_from_histogram, encode_latent
 
     z1 = _Stack(cfg.ga).apply({"params": params["params"]["g_a"]}, jnp.asarray(x))
     code_pre = _Stack(cfg.ga22).apply({"params": params["params"]["g_a22"]}, z1)
     step = float(cfg.coarse_step)
     syms = np.asarray(jnp.round(code_pre / step), np.int64)[0]
-    if cfg.code_clip is not None:
-        lim = int(cfg.code_clip / step)
-        syms = np.clip(syms, -lim, lim)
-        offset, nsym = -lim, 2 * lim + 1
-    else:
-        offset, nsym = int(syms.min()), int(syms.max()) - int(syms.min()) + 1
-    codec = build_cdf_tables_from_histogram(
-        syms, offset=offset, nsym=nsym
-    )
-    stream = encode_latent(codec, syms)
-    ch, cw, cc = syms.shape
-    payload = struct.pack("<HHHfhH", ch, cw, cc, step, offset, nsym)
-    payload += codec.freqs.astype(np.uint32).tobytes()
-    return payload + _pack_bytes(stream)
+    return serialize_dsc_code(syms, step, cfg.code_clip)
 
 
 def _decode_dsc_code(r: "_Reader") -> np.ndarray:

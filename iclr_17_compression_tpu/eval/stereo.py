@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..coding import build_cdf_tables_from_histogram, encode_latent, gzip_bpp
+from ..coding import gzip_bpp
+from ..coding.codec_cli import serialize_dsc_code
 from ..ops.metrics import ms_ssim, ms_ssim_db
 
 
@@ -43,13 +44,11 @@ def eval_stereo_dsc(
         code_np = np.asarray(code[0])
         bz = gzip_bpp(code_np, n_pix, step=cfg.coarse_step)
 
-        # real rANS rate: symbols on the step grid, empirical per-channel tables
+        # real rANS rate: the exact container payload bytes codec_cli writes
+        # (shape/step header + per-channel freq tables + stream)
         sym = np.round(code_np / cfg.coarse_step).astype(np.int64)
-        codec = build_cdf_tables_from_histogram(sym, channel_axis=-1)
-        stream = encode_latent(codec, sym)
-        # table cost: nsym*2 bytes per channel (16-bit freqs), counted honestly
-        table_bytes = codec.ntables * codec.nsym * 2 + 8
-        br = (len(stream) + table_bytes) * 8.0 / n_pix
+        payload = serialize_dsc_code(sym, float(cfg.coarse_step), cfg.code_clip)
+        br = len(payload) * 8.0 / n_pix
 
         row = {
             "psnr": p,

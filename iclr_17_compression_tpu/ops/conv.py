@@ -289,59 +289,6 @@ def _conv_transpose_fused(x, w, strides, pads, out_hw, precision):
     return out.reshape(n, h_out, w_out, cout)
 
 
-def _conv_transpose_phases(x, w, strides, pads, out_hw, precision):
-    sh, sw = strides
-    ph, pw = pads
-    h_out, w_out = out_hw
-    kh, kw = w.shape[0], w.shape[1]
-    n, h, win, cin = x.shape
-    hq, wq = h_out // sh, w_out // sw
-
-    # Gather per-phase tap lists and the global input-padding extents.
-    phases_h = [_phase_taps(r, sh, kh, ph) for r in range(sh)]
-    phases_w = [_phase_taps(r, sw, kw, pw) for r in range(sw)]
-    t_lo_h = min((t[0][0] for t in phases_h if t[0]), default=0)
-    t_hi_h = max((t[0][-1] + (hq - 1) for t in phases_h if t[0]), default=h - 1)
-    t_lo_w = min((t[0][0] for t in phases_w if t[0]), default=0)
-    t_hi_w = max((t[0][-1] + (wq - 1) for t in phases_w if t[0]), default=win - 1)
-    pad_l_h, pad_r_h = max(0, -t_lo_h), max(0, t_hi_h - (h - 1))
-    pad_l_w, pad_r_w = max(0, -t_lo_w), max(0, t_hi_w - (win - 1))
-    xp = jnp.pad(x, ((0, 0), (pad_l_h, pad_r_h), (pad_l_w, pad_r_w), (0, 0)))
-
-    rows = []
-    for rh in range(sh):
-        ts_h, ms_h = phases_h[rh]
-        cols = []
-        for rw in range(sw):
-            ts_w, ms_w = phases_w[rw]
-            if not ts_h or not ts_w:
-                cols.append(jnp.zeros((n, hq, wq, w.shape[3]), x.dtype))
-                continue
-            # sub-kernel: taps (ms_h × ms_w), contiguous in t-order
-            sub_w = w[jnp.asarray(ms_h)][:, jnp.asarray(ms_w)]
-            oh0 = ts_h[0] + pad_l_h
-            ow0 = ts_w[0] + pad_l_w
-            x_slice = lax.dynamic_slice(
-                xp,
-                (0, oh0, ow0, 0),
-                (n, hq - 1 + len(ts_h), wq - 1 + len(ts_w), cin),
-            )
-            cols.append(
-                lax.conv_general_dilated(
-                    x_slice, sub_w, (1, 1), "VALID",
-                    rhs_dilation=(
-                        (ts_h[1] - ts_h[0]) if len(ts_h) > 1 else 1,
-                        (ts_w[1] - ts_w[0]) if len(ts_w) > 1 else 1,
-                    ),
-                    dimension_numbers=_DIMNUMS,
-                    precision=precision,
-                )
-            )
-        rows.append(jnp.stack(cols, axis=3))  # (n, hq, wq, sw, cout)
-    out = jnp.stack(rows, axis=2)  # (n, hq, sh, wq, sw, cout)
-    return out.reshape(n, h_out, w_out, w.shape[3])
-
-
 def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
     """NHWC PixelShuffle matching torch ``nn.PixelShuffle`` channel order.
 

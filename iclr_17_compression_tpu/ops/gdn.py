@@ -90,8 +90,6 @@ def gdn(x: jax.Array, params: GDNParams, inverse: bool = False) -> jax.Array:
     dispatch to the fused Pallas kernel (see ``_use_pallas_kernel`` for the
     measured tradeoff; gradients are identical via custom VJP).
     """
-    from .precision import get_precision
-
     if _use_pallas_kernel():
         from .pallas.gdn_kernel import gdn_pallas
 

@@ -204,7 +204,7 @@ def conv_gdn_fused_raw(
         kernel,
         grid=(n, h2 // th),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # phases stay in HBM; DMA'd
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # phases stay in HBM; DMA'd
             pl.BlockSpec((kp, kp, cp, cout), lambda n, i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda n, i: (0, 0), memory_space=pltpu.VMEM),

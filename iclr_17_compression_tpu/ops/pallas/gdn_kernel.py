@@ -62,7 +62,7 @@ def _gdn_pallas_raw(x2d, gamma_t, beta, inverse: bool, interpret: bool):
         kernel,
         grid=(p // tile,),
         in_specs=[
-            pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.ANY if False else pltpu.VMEM),
+            pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],

@@ -116,6 +116,7 @@ def train_single_image(cfg: TrainConfig, name: str, pretrain: str = "", resume: 
         out_channel_n=cfg.out_channel_n,
         out_channel_m=cfg.out_channel_m,
         quant=cfg.quant,
+        n=cfg.joint_n,
     )
     example = jnp.zeros((cfg.batch_size, cfg.image_size, cfg.image_size, 3))
     lr = step_decay_schedule(

@@ -32,9 +32,10 @@ class TrainConfig:
     seed: int = 1234
 
     # framework extensions
-    model: str = "balle17"            # balle17 | hyperprior | dsc:<preset>
+    model: str = "balle17"            # balle17 | hyperprior | joint | dsc:<preset>
     out_channel_n: int = 128
     out_channel_m: int = 320
+    joint_n: int = 192                 # width N of the joint-AR codec
     quant: str = "noise-round"
     loss: Optional[str] = None         # override DSC preset loss
     mesh_data: Optional[int] = None    # None = auto (largest divisor of batch)

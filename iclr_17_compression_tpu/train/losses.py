@@ -48,11 +48,9 @@ def contrastive_loss(
     )  # (B, B) pairwise latent MSE
     eye = jnp.eye(b, dtype=bool)
     pos = jnp.mean(jnp.maximum(jnp.diag(d2) - margin, 0.0))
-    neg_d = jnp.where(eye, jnp.inf, d2)
     neg = jnp.mean(
         jnp.maximum(margin - jnp.where(eye, 0.0, d2), 0.0) * (~eye)
     ) * (b * b / jnp.maximum(b * b - b, 1))
-    del neg_d
     return w_pos * pos + w_neg * neg
 
 

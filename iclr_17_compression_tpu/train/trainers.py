@@ -108,7 +108,9 @@ def _run_epochs(
         if epoch_loss < best_loss:
             best_loss = epoch_loss
             save_train_state(state, save_dir, "best_train", epoch, epoch_loss)
-        elif epoch % save_every == 0:
+        # periodic checkpoints are written regardless of improvement — the
+        # reference keeps both (train_2StepsNet.py:201-220)
+        if epoch % save_every == 0:
             save_train_state(state, save_dir, f"epoch_{epoch}", epoch, epoch_loss)
         logger.info("epoch %d done: loss=%.5f lr=%.2e", epoch, epoch_loss, lr)
         if global_step >= cfg.tot_step:
