@@ -13,6 +13,7 @@ Everything here is deterministic host-side numpy; the per-element scale
 indices come from the device in one parallel pass.
 """
 
+import functools
 import math
 from typing import Tuple
 
@@ -71,6 +72,14 @@ def build_gaussian_codec(
         rows.append(_quantize_pmf(np.maximum(pmf, tail_mass), scale_bits))
     freqs = np.stack(rows)
     return RansCodec(freqs, offset=-max_value, scale_bits=scale_bits)
+
+
+@functools.lru_cache(maxsize=64)
+def default_gaussian_codec(max_value: int, scale_bits: int = 14) -> RansCodec:
+    """Memoized default-table codec — table construction (64 erf rows) is
+    deterministic, so per-image rebuilds (joint codec compress/decompress)
+    are pure waste. Callers must not mutate the returned codec."""
+    return build_gaussian_codec(default_scale_table(), max_value, scale_bits)
 
 
 def gaussian_codec_and_indices(

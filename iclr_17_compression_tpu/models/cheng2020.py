@@ -21,12 +21,15 @@ first-class TPU-native model:
 Real bitstreams — which the reference never produces (it measures gzip
 instead, SURVEY.md §2.6) — are implemented by ``compress``/``decompress``:
 the transforms and the hyper path run on device in parallel; the inherently
-sequential raster scan (each pixel's CDF depends on already-coded pixels)
-runs on host against the C++ rANS coder's streaming decoder, with
-numpy re-implementations of the (tiny) masked-conv window product and the
-1×1 entropy-parameters stack. Encoder and decoder execute the identical
-host arithmetic, so mu/sigma — and therefore the coded symbols — match
-bit-exactly.
+sequential scan (each pixel's CDF depends on already-coded pixels) runs on
+host against the C++ rANS coder's streaming decoder, with numpy
+re-implementations of the (tiny) masked-conv window product and the 1×1
+entropy-parameters stack. Symbols are coded in anti-diagonal WAVEFRONT order
+(``_wavefronts``): every pixel on a wavefront is independent given earlier
+wavefronts, so the per-pixel matvecs batch into per-wavefront GEMMs (~10x
+fewer host ops than a raster scan). Encoder and decoder execute the
+identical host arithmetic, so mu/sigma — and therefore the coded symbols —
+match bit-exactly.
 """
 
 from typing import NamedTuple, Optional, Tuple
@@ -218,13 +221,44 @@ class CompressedImage(NamedTuple):
         return 8 * (len(self.y_stream) + len(self.z_stream))
 
 
+def _wavefronts(h: int, w: int, slope: int = 3):
+    """Anti-diagonal wavefronts t = slope·i + j over an (h, w) grid.
+
+    With the 5×5 mask-A context, pixel (i, j) depends on same-row pixels
+    (i, j-1), (i, j-2) and rows i-1, i-2 at columns ≤ j+2. For slope 3 every
+    dependency of a pixel on wavefront t lies on a wavefront < t (worst case
+    (i-1, j+2): t' = t-1), so all pixels sharing t are decodable in one
+    batch. Symbols are coded in wavefront order (within a wavefront:
+    ascending row) — encoder and decoder iterate identically.
+    """
+    fronts = []
+    for t in range(slope * (h - 1) + w):
+        i0 = max(0, -(-(t - (w - 1)) // slope))  # ceil((t-w+1)/slope)
+        i1 = min(h - 1, t // slope)
+        if i0 > i1:
+            continue
+        ii = np.arange(i0, i1 + 1, dtype=np.int64)
+        jj = t - slope * ii
+        fronts.append((ii, jj))
+    return fronts
+
+
 class _HostARContext:
     """Host-side mirror of context_prediction + entropy_parameters.
 
-    Holds the (tiny) weights as float32 numpy and evaluates one pixel of the
-    raster scan: the mask-A 5×5 window product and the three 1×1 matmuls.
-    Used identically by encoder and decoder so their mu/sigma agree
-    bit-exactly.
+    Holds the (tiny) weights as float32 numpy and evaluates a BATCH of
+    raster-scan pixels (one anti-diagonal wavefront) at once: the mask-A
+    window products and the three 1×1 matmuls become small GEMMs over the
+    wavefront. Used identically by encoder and decoder so their mu/sigma
+    agree bit-exactly.
+
+    Precomputation (exact algebraic refactors, no approximation):
+    - the first entropy_parameters layer is linear before its leaky_relu, so
+      its weight splits into a hyper half and a context half; the hyper half
+      plus both biases are evaluated for ALL pixels in one GEMM up front
+      (``prep``), leaving only the context half per pixel;
+    - the mask-A window splits into 10 fully-decoded "above" taps (rows
+      i-2, i-1) and 2 same-row "left" taps, each a reshaped GEMM.
     """
 
     def __init__(self, params):
@@ -246,23 +280,56 @@ class _HostARContext:
             for name in ("conv0", "conv1", "conv2")
         ]
         self.kh, self.kw = kh, kw
+        m = w.shape[2]
+        self.m = m
+        w0, b0 = self.ep[0]
+        nh = w0.shape[0] - 2 * m  # hyper channels feeding conv0 (= 2M)
+        self.w0_h = np.ascontiguousarray(w0[:nh])  # hyper half
+        self.w0_c = np.ascontiguousarray(w0[nh:])  # context half
+        self.b0 = b0
+        # "above" taps (rows 0,1 of the masked kernel) as one GEMM matrix
+        self.w_above = np.ascontiguousarray(
+            self.ctx_w[:2].reshape(2 * kw * m, 2 * m)
+        )
+        # same-row "left" taps (row 2, cols 0,1): (2·M, 2M)
+        self.w_left = np.ascontiguousarray(
+            self.ctx_w[kh // 2, : kw // 2].reshape((kw // 2) * m, 2 * m)
+        )
 
-    def mu_sigma(
-        self, y_hat_pad: np.ndarray, hyper: np.ndarray, i: int, j: int, scale_bound: float
+    def prep(self, hyper: np.ndarray) -> np.ndarray:
+        """Per-image precompute: conv0's hyper contribution + both biases,
+        for every pixel. hyper: (h, w, 2M) → (h, w, C0)."""
+        base = hyper.reshape(-1, hyper.shape[-1]) @ self.w0_h
+        base += self.b0 + self.ctx_b @ self.w0_c
+        return base.reshape(hyper.shape[0], hyper.shape[1], -1)
+
+    def mu_sigma_batch(
+        self,
+        y_hat_pad: np.ndarray,
+        base: np.ndarray,
+        ii: np.ndarray,
+        jj: np.ndarray,
+        scale_bound: float,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """(mu, sigma) for pixel (i, j). ``y_hat_pad`` is ŷ zero-padded by
-        kh//2 / kw//2; only already-scanned entries are nonzero, and the
-        mask discards the rest anyway."""
-        win = y_hat_pad[i : i + self.kh, j : j + self.kw]  # (kh, kw, M)
-        ctx = np.einsum("hwc,hwco->o", win, self.ctx_w) + self.ctx_b
-        x = np.concatenate([hyper[i, j], ctx])
-        for k, (w, b) in enumerate(self.ep):
-            x = x @ w + b
-            if k < 2:
-                x = np.where(x >= 0, x, 0.01 * x)  # leaky_relu(0.01)
-        half = x.shape[0] // 2
-        sigma = np.maximum(np.abs(x[:half]), scale_bound)
-        return x[half:], sigma
+        """(mu, sigma), each (P, M), for the wavefront pixels (ii, jj).
+        ``y_hat_pad`` is ŷ zero-padded by kh//2 / kw//2; entries this
+        wavefront depends on are already final."""
+        m, kw = self.m, self.kw
+        p_n = ii.shape[0]
+        # above window: rows ii..ii+1 (padded) × cols jj..jj+4 → (P, 2, 5, M)
+        rows = ii[:, None, None] + np.arange(2)[None, :, None]
+        cols = jj[:, None, None] + np.arange(kw)[None, None, :]
+        above = y_hat_pad[rows, cols].reshape(p_n, -1) @ self.w_above
+        # left taps: padded row ii+2, cols jj+0, jj+1 → (P, 2, M)
+        lcols = jj[:, None] + np.arange(kw // 2)[None, :]
+        left = y_hat_pad[ii[:, None] + 2, lcols].reshape(p_n, -1) @ self.w_left
+        x = base[ii, jj] + (above + left) @ self.w0_c
+        np.maximum(x, 0.01 * x, out=x)  # leaky_relu(0.01)
+        x = x @ self.ep[1][0] + self.ep[1][1]
+        np.maximum(x, 0.01 * x, out=x)
+        x = x @ self.ep[2][0] + self.ep[2][1]
+        sigma = np.maximum(np.abs(x[:, :m]), scale_bound)
+        return x[:, m:], sigma
 
 
 def _apply_submodule(model: JointAutoregressive, params, name: str, module, x):
@@ -274,8 +341,8 @@ def compress(model: JointAutoregressive, params, image, return_y_hat: bool = Fal
 
     ``return_y_hat=True`` additionally returns the encoder-side dequantized
     latent so tests can assert the decoder reproduces it bit-exactly."""
-    from ..coding.api import RansCodec, _quantize_pmf, encode_latent
-    from ..coding.gaussian import build_gaussian_codec, default_scale_table, scale_indices
+    from ..coding.api import encode_latent
+    from ..coding.gaussian import default_gaussian_codec, default_scale_table, scale_indices
     from ..ops.entropy import bit_estimator_cdf
 
     assert image.shape[0] == 1, "compress() codes one image at a time"
@@ -305,19 +372,20 @@ def compress(model: JointAutoregressive, params, image, return_y_hat: bool = Fal
     h, w, m = y.shape
     pad = host.kh // 2
     y_hat_pad = np.zeros((h + 2 * pad, w + 2 * pad, m), np.float32)
-    syms = np.empty((h, w, m), np.int32)
-    sigmas = np.empty((h, w, m), np.float32)
-    for i in range(h):
-        for j in range(w):
-            mu, sigma = host.mu_sigma(y_hat_pad, hyper, i, j, model.scale_bound)
-            s = np.round(y[i, j] - mu)
-            syms[i, j] = s.astype(np.int32)
-            sigmas[i, j] = sigma
-            y_hat_pad[i + pad, j + pad] = s + mu
+    base = host.prep(hyper)
+    sym_parts, sig_parts = [], []
+    for ii, jj in _wavefronts(h, w):
+        mu, sigma = host.mu_sigma_batch(y_hat_pad, base, ii, jj, model.scale_bound)
+        s = np.round(y[ii, jj] - mu)
+        sym_parts.append(s.astype(np.int32).reshape(-1))
+        sig_parts.append(sigma.reshape(-1))
+        y_hat_pad[ii + pad, jj + pad] = s + mu
 
+    syms = np.concatenate(sym_parts)  # wavefront coding order
+    sigmas = np.concatenate(sig_parts)
     max_sym = max(int(np.abs(syms).max()), 1)
     table = default_scale_table()
-    y_codec = build_gaussian_codec(table, max_sym)
+    y_codec = default_gaussian_codec(max_sym)
     tids = scale_indices(sigmas, table)
     y_stream = y_codec.encode(syms.astype(np.int64), tids)
 
@@ -340,7 +408,7 @@ def decompress(
 ):
     """Decode bitstreams back to the reconstructed image (1, H, W, 3)."""
     from ..coding.api import StreamingDecoder, decode_latent
-    from ..coding.gaussian import build_gaussian_codec, default_scale_table, scale_indices
+    from ..coding.gaussian import default_gaussian_codec, default_scale_table, scale_indices
 
     n = model.n
     be = _bit_estimator_params(params, "bit_estimator_z")
@@ -357,15 +425,15 @@ def decompress(
     h, w, m = comp.y_shape
     pad = host.kh // 2
     y_hat_pad = np.zeros((h + 2 * pad, w + 2 * pad, m), np.float32)
+    base = host.prep(hyper)
     table = default_scale_table()
-    y_codec = build_gaussian_codec(table, comp.max_sym)
+    y_codec = default_gaussian_codec(comp.max_sym)
     with StreamingDecoder(y_codec, comp.y_stream) as dec:
-        for i in range(h):
-            for j in range(w):
-                mu, sigma = host.mu_sigma(y_hat_pad, hyper, i, j, model.scale_bound)
-                tids = scale_indices(sigma, table)
-                s = dec.step(tids).astype(np.float32)
-                y_hat_pad[i + pad, j + pad] = s + mu
+        for ii, jj in _wavefronts(h, w):
+            mu, sigma = host.mu_sigma_batch(y_hat_pad, base, ii, jj, model.scale_bound)
+            tids = scale_indices(sigma, table)
+            s = dec.step(tids).astype(np.float32).reshape(mu.shape)
+            y_hat_pad[ii + pad, jj + pad] = s + mu
 
     y_hat = y_hat_pad[pad : pad + h, pad : pad + w]
     recon = np.asarray(

@@ -37,10 +37,15 @@ from .precision import get_precision
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 
 
-def _S2D_DISABLED() -> bool:
-    """Escape hatch (``ICLR17C_NO_S2D=1``) for A/B-ing the space-to-depth
-    first-layer conv path against the direct lowering."""
-    return os.environ.get("ICLR17C_NO_S2D", "0") == "1"
+def _S2D_ENABLED() -> bool:
+    """Opt-in (``ICLR17C_S2D=1``): space-to-depth lowering for small-Cin
+    strided convs. Round-2 measurements favored it, but on the current
+    backend the direct stride-4 lowering is faster in-graph (encoder 15.9 vs
+    17.1 ms, full pipeline 30.8 vs 32.0 ms at batch-128 Kodak bf16 — the s2d
+    blocking transpose costs more than the MXU lane waste it recovers;
+    tools/exp_kernels.py + /tmp A/B logs, round 3). Kept as a flag so the
+    A/B stays one env var."""
+    return os.environ.get("ICLR17C_S2D", "0") == "1"
 
 
 def _pair(v: Union[int, Sequence[int]]) -> Tuple[int, int]:
@@ -74,10 +79,10 @@ def conv2d(
         and (dh, dw) == (1, 1)
         and max(sh, sw) > 1
         and x.shape[3] <= 4
-        and not _S2D_DISABLED()
+        and _S2D_ENABLED()
     ):
-        # small-Cin strided conv (first layer, Cin=3): space-to-depth form —
-        # the direct lowering wastes ~97% of the MXU contraction lanes.
+        # small-Cin strided conv (first layer, Cin=3): space-to-depth form.
+        # Off by default — see _S2D_ENABLED for the measured tradeoff.
         out = _conv_s2d(x, w, (sh, sw), (ph, pw), get_precision(precision))
     else:
         out = lax.conv_general_dilated(
@@ -170,14 +175,17 @@ def conv_transpose2d(
     parameterization (handled by initializers / the torch importer).
     Output spatial size: (H-1)*s - 2p + k + op.
 
-    Implementation: **phase decomposition** — the stride-s transposed conv is
-    computed as s_h*s_w dense stride-1 convs over the small input (one per
-    output phase) whose results are interleaved (inverse pixel-shuffle).
-    This is the MXU-optimal formulation (no zero-stuffed input, every MAC is
-    a real tap) and sidesteps the lhs_dilation path entirely (which this
-    environment's TPU backend miscompiles for stride 4 — verified 152% error
-    vs CPU; the phase form is exact). Falls back to lhs_dilation only when
-    the output length is not divisible by the stride.
+    Implementation, chosen per stride (both exact):
+    - stride ≤ 2: native ``lhs_dilation`` — this backend compiles dilation-2
+      correctly (verified bit-equal to the phase form and to CPU fp32), and
+      it is ~25% faster than phase fusion at the Ballé-17 deconv2 shape
+      (batch-128 Kodak: 11.6 vs 15.8 ms standalone, tools/exp_kernels.py).
+    - stride ≥ 3: **phase decomposition** — all output phases' taps embedded
+      in one dense conv + pixel shuffle (``_conv_transpose_fused``). The
+      backend MISCOMPILES lhs_dilation ≥ 4 (verified 152% error vs CPU), and
+      the zero-stuffed input wastes ~s² of the MXU contraction anyway.
+    Falls back to lhs_dilation when the output length is not divisible by
+    the stride (phase interleave undefined).
     """
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
@@ -188,11 +196,12 @@ def conv_transpose2d(
     h_out = (h - 1) * sh - 2 * ph + kh + oph
     w_out = (win - 1) * sw - 2 * pw + kw + opw
 
-    if sh == 1 and sw == 1:
+    if sh <= 2 and sw <= 2:
         out = lax.conv_general_dilated(
             x, w, (1, 1),
             padding=((kh - 1 - ph, kh - 1 - ph + oph),
                      (kw - 1 - pw, kw - 1 - pw + opw)),
+            lhs_dilation=(sh, sw),
             dimension_numbers=_DIMNUMS,
             precision=get_precision(precision),
         )
