@@ -42,6 +42,7 @@ KIND_BALLE17 = 1
 KIND_DSC = 2
 KIND_JOINT = 3
 KIND_DSC_COMPOSITE = 4  # base DSC code + rate-regression residual code
+KIND_HYPERPRIOR = 5  # scale hyperprior: factorized z + Laplace(0, sigma) y
 
 
 # ---------------------------------------------------------------------------
@@ -78,14 +79,26 @@ def _is_torch_ckpt(path: str) -> bool:
     return path.endswith((".pth", ".pth.tar", ".pt"))
 
 
-def build_model(spec: str, n: int):
-    """Returns (kind, model, pad_multiple)."""
+def build_model(spec: str, n: int = 0, m: int = 0):
+    """Returns (kind, model, pad_multiple). ``n``/``m`` = 0 → per-model
+    defaults (balle17 128, joint/hyperprior 192; hyperprior m 320)."""
     from ..models import DSC_PRESETS, Balle17Compressor, DSCStereoModel, JointAutoregressive
 
     if spec == "balle17":
-        return KIND_BALLE17, Balle17Compressor(out_channel_n=n), 16
+        return KIND_BALLE17, Balle17Compressor(out_channel_n=n or 128), 16
     if spec == "joint":
-        return KIND_JOINT, JointAutoregressive(n=n), 64
+        return KIND_JOINT, JointAutoregressive(n=n or 192), 64
+    if spec.startswith("hyperprior"):
+        # 'hyperprior' | 'hyperprior-sigma' (σ-normalized quantization)
+        from ..models import ScaleHyperprior
+
+        quant = "sigma-norm" if spec.endswith("-sigma") else "round"
+        return (
+            KIND_HYPERPRIOR,
+            ScaleHyperprior(out_channel_n=n or 192, out_channel_m=m or 320,
+                            quant=quant),
+            64,
+        )
     if spec in DSC_PRESETS:
         cfg = DSC_PRESETS[spec]
         return KIND_DSC, DSCStereoModel(cfg), cfg.code_div
@@ -122,6 +135,10 @@ def load_params(kind: int, model, spec: str, ckpt: str):
             imported = import_balle17(sd)
         elif kind == KIND_JOINT:
             imported = import_joint(sd)
+        elif kind == KIND_HYPERPRIOR:
+            from ..train.torch_import import import_hyperprior
+
+            imported = import_hyperprior(sd)
         else:
             imported = import_dsc(sd, model.config)
         return {"params": merge_partial(template["params"], imported)}
@@ -177,14 +194,29 @@ def _read_header(r: _Reader) -> Tuple[int, str, int, int, int]:
 # Encode / decode per model kind
 # ---------------------------------------------------------------------------
 
-def encode_image(image: np.ndarray, spec: str, params, n: int = 128) -> bytes:
+def encode_image(image: np.ndarray, spec: str, params, n: int = 0, m: int = 0) -> bytes:
     """image: HWC float [0,1] → serialized bitstream (bytes)."""
     import jax.numpy as jnp
 
-    kind, model, mult = build_model(spec, n)
+    kind, model, mult = build_model(spec, n, m)
+    n = getattr(model, "out_channel_n", None) or getattr(model, "n", n)
     h0, w0 = image.shape[:2]
     x = pad_to_multiple(image, mult)[None]
     head = _header(kind, spec, n, h0, w0)
+
+    if kind == KIND_HYPERPRIOR:
+        from ..models.hyperprior import compress as hp_compress
+
+        comp = hp_compress(model, params, jnp.asarray(x))
+        return (
+            head
+            + struct.pack(
+                "<HHHHHHHIhh", model.out_channel_m,
+                *comp.y_shape, *comp.z_shape, comp.max_sym, comp.z_min, comp.z_max,
+            )
+            + _pack_bytes(comp.y_stream)
+            + _pack_bytes(comp.z_stream)
+        )
 
     if kind == KIND_BALLE17:
         from ..models.balle17 import Analysis17
@@ -359,6 +391,22 @@ def decode_image(
         )
         return np.clip(np.asarray(recon)[0, :h0, :w0], 0.0, 1.0)
 
+    if kind == KIND_HYPERPRIOR:
+        from ..models.hyperprior import CompressedHyper
+        from ..models.hyperprior import decompress as hp_decompress
+
+        m = r.take("H")
+        _, model, _ = build_model(name, n, m)
+        vals = r.take("HHHHHHIhh")
+        comp = CompressedHyper(
+            y_stream=r.take_bytes(), z_stream=r.take_bytes(),
+            y_shape=tuple(vals[:3]), z_shape=tuple(vals[3:6]),
+            max_sym=vals[6], z_min=vals[7], z_max=vals[8],
+            quant=model.quant,
+        )
+        recon = hp_decompress(model, params, comp)
+        return np.asarray(recon)[0, :h0, :w0]
+
     if kind == KIND_JOINT:
         from ..models import JointAutoregressive
         from ..models.cheng2020 import CompressedImage, decompress
@@ -406,7 +454,10 @@ def main(argv=None):
             p.add_argument("--model", required=True,
                            help="balle17 | joint | DSC preset name")
         p.add_argument("--ckpt", required=True, help="flax .ckpt or torch .pth")
-        p.add_argument("--n", type=int, default=128, help="model channels")
+        p.add_argument("--n", type=int, default=0,
+                       help="model channels (0 = model default)")
+        p.add_argument("--m", type=int, default=0,
+                       help="hyperprior M channels (0 = model default)")
         p.add_argument("--si", default="", help="side-information image (DSC)")
         p.add_argument("--reg-ckpt", default="",
                        help="rate-regression stage checkpoint → composite "
@@ -436,14 +487,14 @@ def main(argv=None):
 
     if args.cmd == "encode":
         img = load_image(args.input)
-        kind, model, _ = build_model(args.model, args.n)
+        kind, model, _ = build_model(args.model, args.n, args.m)
         params = load_params(kind, model, args.model, args.ckpt)
         if args.reg_ckpt:
             data = encode_composite(
                 img, args.model, params, args.reg_model, _load_reg(args), n=args.n
             )
         else:
-            data = encode_image(img, args.model, params, n=args.n)
+            data = encode_image(img, args.model, params, n=args.n, m=args.m)
         with open(args.output, "wb") as f:
             f.write(data)
         bpp = len(data) * 8.0 / (img.shape[0] * img.shape[1])
@@ -470,7 +521,7 @@ def main(argv=None):
 
     # roundtrip
     img = load_image(args.input)
-    kind, model, _ = build_model(args.model, args.n)
+    kind, model, _ = build_model(args.model, args.n, args.m)
     params = load_params(kind, model, args.model, args.ckpt)
     si = load_image(args.si) if args.si else None
     if args.reg_ckpt:
@@ -482,7 +533,7 @@ def main(argv=None):
             raise SystemExit("composite roundtrip needs --si")
         recon = decode_composite(data, params, reg_params, si)
     else:
-        data = encode_image(img, args.model, params, n=args.n)
+        data = encode_image(img, args.model, params, n=args.n, m=args.m)
         recon = decode_image(data, params, si_image=si)
     mse = float(np.mean((recon - img) ** 2))
     psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))

@@ -92,6 +92,46 @@ def import_balle17(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------
+# Ballé-2018 scale hyperprior (reference models/analysis.py, synthesis.py,
+# analysis_prior.py, synthesis_prior.py — no surviving reference trainer, so
+# the module names follow the reference's own ImageCompressor convention
+# extended the way liujiaheng-lineage repos name the 2018 nets:
+# Encoder / Decoder / priorEncoder / priorDecoder / bitEstimator_z)
+# ---------------------------------------------------------------------------
+
+_HYPER_PREFIXES = {
+    "Encoder": "g_a",
+    "Decoder": "g_s",
+    "priorEncoder": "h_a",
+    "priorDecoder": "h_s",
+}
+
+
+def import_hyperprior(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """torch 2018-transform state_dict → models.hyperprior.ScaleHyperprior
+    params tree. Layer names (conv{i}/gdn{i}/deconv{i}/igdn{i}) are identical
+    on both sides; only prefixes and tensor layouts are mapped."""
+    params: Dict[str, Any] = {}
+    for k, v in sd.items():
+        mod, _, rest = k.partition(".")
+        if mod == "bitEstimator_z" and rest.startswith("f"):
+            f, leaf = rest.split(".")
+            _set(params, f"bit_estimator_z/{f}_{leaf}", v.reshape(-1))
+            continue
+        ours = _HYPER_PREFIXES.get(mod)
+        if ours is None:
+            continue
+        layer, leaf = rest.split(".", 1)
+        if layer.startswith("deconv") and leaf == "weight":
+            _set(params, f"{ours}/{layer}/weight", torch_deconv_weight_to_hwio(v))
+        elif layer.startswith("conv") and leaf == "weight":
+            _set(params, f"{ours}/{layer}/weight", torch_conv_weight_to_hwio(v))
+        else:  # biases, gdn/igdn beta/gamma
+            _set(params, f"{ours}/{layer}/{leaf.replace('.', '/')}", v)
+    return params
+
+
+# ---------------------------------------------------------------------------
 # CompressAI-style sequential stacks (DSC family)
 # ---------------------------------------------------------------------------
 
@@ -263,6 +303,131 @@ def import_joint(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
             ctx[leaf] = torch_conv_weight_to_hwio(v) if v.ndim == 4 else v
     if ctx:
         params["context_prediction"] = ctx
+    return params
+
+
+# ---------------------------------------------------------------------------
+# PASSRnet (reference models/PASSRnet.py:7-58) — the last families without a
+# key map. No reference checkpoints survive; maps follow the reference's own
+# module attribute names.
+# ---------------------------------------------------------------------------
+
+_PASSR_FEAT_IDX = {"2": "resb1", "3": "aspp1", "4": "resb2", "5": "aspp2", "6": "resb3"}
+_PASSR_UP_IDX = {"4": "up_conv1", "6": "up_conv2", "7": "up_conv3"}
+
+
+def _put_conv(params, path, v):
+    _set(params, path, torch_conv_weight_to_hwio(v) if v.ndim == 4 else v)
+
+
+def _import_resb(params, base, rest, v):
+    """torch ResB: body.0 → conv1, body.2 → conv2 (PASSRnet.py:63-69)."""
+    parts = rest.split(".")
+    name = {"0": "conv1", "2": "conv2"}[parts[1]]
+    _put_conv(params, f"{base}/{name}/{parts[-1]}", v)
+
+
+def import_passr(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """torch PASSRnet state_dict → models.passr.PASSRnet params tree."""
+    params: Dict[str, Any] = {}
+    for k, v in sd.items():
+        mod, _, rest = k.partition(".")
+        if mod in ("init_feature_left", "init_feature_right"):
+            idx, _, sub = rest.partition(".")
+            if idx == "0":
+                _put_conv(params, f"{mod}_conv0/weight", v)
+            elif _PASSR_FEAT_IDX[idx].startswith("resb"):
+                _import_resb(params, f"{mod}_{_PASSR_FEAT_IDX[idx]}", sub, v)
+            else:  # ResASPPB: conv{j}_{i}.0.weight / b_{i}.weight — names match
+                _put_conv(
+                    params,
+                    f"{mod}_{_PASSR_FEAT_IDX[idx]}/{sub.split('.')[0]}/{sub.split('.')[-1]}",
+                    v,
+                )
+        elif mod == "pam":
+            if rest.startswith("rb."):
+                _import_resb(params, "pam/rb", rest[3:], v)
+            else:
+                layer, leaf = rest.split(".")
+                _put_conv(params, f"pam/{layer}/{leaf}", v)
+        elif mod == "upscale":
+            idx, _, sub = rest.partition(".")
+            if idx in ("0", "1", "2", "3"):
+                _import_resb(params, f"up_resb{idx}", sub, v)
+            else:
+                _put_conv(params, f"{_PASSR_UP_IDX[idx]}/{sub}", v)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# FIF / finalEnhanceNet (reference fast_image_filters/)
+# ---------------------------------------------------------------------------
+
+# reference FIF_net.py names its 5 active ConvBlocks conv1..conv4, conv8
+_FIF_CONV_MAP = {"conv1": "conv1", "conv2": "conv2", "conv3": "conv3",
+                 "conv4": "conv4", "conv8": "conv5"}
+
+
+def import_fif(sd: Dict[str, np.ndarray], torch_prefix: str = ""):
+    """torch FIF trunk → (params, batch_stats) for models.enhance.FIF.
+
+    ConvBlock = Sequential(conv, LeakyReLU, AdaptiveBatchNorm)
+    (reference basic_blocks.py:27-59); BN running stats land in flax's
+    ``batch_stats`` collection, returned separately."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    pre = torch_prefix + "." if torch_prefix else ""
+    for k, v in sd.items():
+        if pre and not k.startswith(pre):
+            continue
+        rest = k[len(pre):]
+        top, _, tail = rest.partition(".")
+        ours = _FIF_CONV_MAP.get(top)
+        if ours is None or not tail.startswith("convblk."):
+            continue
+        sub = tail[len("convblk."):]
+        if sub == "0.weight":
+            _set(params, f"{ours}/weight", torch_conv_weight_to_hwio(v))
+        elif sub == "0.bias":
+            _set(params, f"{ours}/bias", v)
+        elif sub == "2.a":
+            _set(params, f"{ours}/abn/a", v.reshape(()))
+        elif sub == "2.b":
+            _set(params, f"{ours}/abn/b", v.reshape(()))
+        elif sub == "2.bn.weight":
+            _set(params, f"{ours}/abn/bn/scale", v)
+        elif sub == "2.bn.bias":
+            _set(params, f"{ours}/abn/bn/bias", v)
+        elif sub == "2.bn.running_mean":
+            _set(stats, f"{ours}/abn/bn/mean", v)
+        elif sub == "2.bn.running_var":
+            _set(stats, f"{ours}/abn/bn/var", v)
+    return params, stats
+
+
+_FINAL_BLOCK_IDX = {"0": "final_rb0", "1": "final_rb1", "3": "final_rb2", "4": "final_rb3"}
+
+
+def import_final_enhance(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """torch finalEnhanceNet → models.enhance.FinalEnhanceNet params tree
+    (reference final_enhance_net.py:32-64: two gated ResidualBlock branches
+    + attention tail)."""
+    params: Dict[str, Any] = {}
+    for k, v in sd.items():
+        mod, _, rest = k.partition(".")
+        idx, _, sub = rest.partition(".")
+        if mod == "conv_a":
+            _import_block_params(params, f"conv_a_rb{idx}", sub, v, "rb")
+        elif mod == "conv_b":
+            if idx == "3":  # bare 1×1 conv after the blocks
+                _put_conv(params, f"conv_b_conv/{sub}", v)
+            else:
+                _import_block_params(params, f"conv_b_rb{idx}", sub, v, "rb")
+        elif mod == "final_block":
+            if idx == "2":
+                _import_block_params(params, "final_att", sub, v, "att")
+            else:
+                _import_block_params(params, _FINAL_BLOCK_IDX[idx], sub, v, "rb")
     return params
 
 
