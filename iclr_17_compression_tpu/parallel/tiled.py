@@ -16,11 +16,14 @@ container level (in-band shapes + lengths + concat), not on device.
 PAM sharding policy: parallax attention (models/passr.py, and DSC presets
 with ``fusion_post='pam'``) computes a full W×W attention per latent row —
 its K/V span the entire width, so W-sharding would need a ring exchange of
-K/V row segments (the true ring-attention analog, SURVEY.md §5). That ring
-kernel is not implemented; PAM models must shard H instead
-(``tile_sharding(mesh, axis='height')`` — PAM is row-independent, so
-H-sharding needs no attention communication at all) or run replicated.
-``make_tiled_dsc`` enforces this by rejecting pam-fusion configs.
+K/V row segments (the true ring-attention analog, SURVEY.md §5). PAM models
+therefore shard H (``make_tiled_dsc(..., axis='height')`` — PAM is
+row-independent, so H-sharding needs no attention communication; conv and
+morphology halos are still GSPMD-inserted and the path is bit-parity tested
+in tests/test_tiled.py). ``make_tiled_dsc`` rejects W-sharded pam configs.
+An explicit ring K/V alternative for W-sharding lives in
+``parallel/ring_pam.py`` (shard_map + ppermute, flash-attention-style
+online softmax).
 """
 
 import concurrent.futures as _futures
@@ -123,27 +126,35 @@ def make_tiled_codec(
     return encode_fn, decode_fn
 
 
-def make_tiled_dsc(model, params, mesh: Mesh) -> Tuple[Callable, Callable]:
+def make_tiled_dsc(
+    model, params, mesh: Mesh, axis: str = "width"
+) -> Tuple[Callable, Callable]:
     """Sharded (encode_fn, decode_fn) for a DSC stereo codec.
 
-      encode_fn(image)    -> quantized+clamped coarse code (W-sharded)
-      decode_fn(code, si) -> SI-assisted reconstruction (W-sharded)
+      encode_fn(image)    -> quantized+clamped coarse code (tile-sharded)
+      decode_fn(code, si) -> SI-assisted reconstruction (tile-sharded)
 
     The encoder runs what the transmitter runs (g_a → g_a22 → quantize,
     reference models/temp.py:232-260, never sees the SI image); the decoder
-    is the DSCDecoder receiver subgraph. PAM-fusion presets are rejected —
-    see the module docstring's sharding policy.
+    is the DSCDecoder receiver subgraph.
+
+    ``axis``: which image axis the 'tile' mesh axis splits. PAM-fusion
+    presets REQUIRE ``axis='height'``: parallax attention computes a full
+    W×W attention per latent row (reference models/PASSRnet.py:124-136), so
+    W-sharding would split its K/V mid-softmax — H rows are independent, so
+    H-sharding needs no attention communication at all (conv/morphology
+    halos are still inserted by GSPMD). Non-PAM presets accept either axis.
     """
     from ..models.dsc import DSCDecoder, _Stack
 
     cfg = model.config
-    if cfg.fusion_post == "pam":
+    if cfg.fusion_post == "pam" and axis != "height":
         raise ValueError(
             "fusion_post='pam' attends across the full latent width per row; "
-            "W-sharding would split its K/V. Shard H instead "
-            "(tile_sharding(mesh, axis='height')) or run replicated."
+            "W-sharding would split its K/V. Use make_tiled_dsc(..., "
+            "axis='height') (PAM is row-independent) or run replicated."
         )
-    x_shard = tile_sharding(mesh)
+    x_shard = tile_sharding(mesh, axis=axis)
     rep = replicated(mesh)
     p = jax.device_put(params, rep)
 
@@ -180,13 +191,14 @@ def encode_tiles_to_streams(
     codec,
     n_tiles: int,
     step: float = 1.0,
+    axis: int = 2,
 ) -> TiledStreams:
-    """Split the code tensor into W tiles (ragged-safe) and rANS-encode each
-    independently (thread pool — the C++ coder releases the GIL during
-    ctypes calls)."""
+    """Split the code tensor into tiles along ``axis`` (2 = W, 1 = H for
+    H-sharded PAM codecs; ragged-safe) and rANS-encode each independently
+    (thread pool — the C++ coder releases the GIL during ctypes calls)."""
     from ..coding import encode_latent
 
-    tiles = np.array_split(np.asarray(code), n_tiles, axis=2)
+    tiles = np.array_split(np.asarray(code), n_tiles, axis=axis)
     sym_tiles = [np.round(t / step).astype(np.int64) for t in tiles]
 
     with _futures.ThreadPoolExecutor(max_workers=min(n_tiles, 16)) as ex:
@@ -197,7 +209,7 @@ def encode_tiles_to_streams(
 
 
 def decode_streams_to_code(
-    ts: TiledStreams, codec, step: float = 1.0
+    ts: TiledStreams, codec, step: float = 1.0, axis: int = 2
 ) -> np.ndarray:
     from ..coding import decode_latent
 
@@ -208,4 +220,4 @@ def decode_streams_to_code(
                 zip(ts.streams, ts.tile_shapes),
             )
         )
-    return np.concatenate(tiles, axis=2).astype(np.float32) * step
+    return np.concatenate(tiles, axis=axis).astype(np.float32) * step

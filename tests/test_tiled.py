@@ -71,11 +71,72 @@ def test_tiled_dsc_roundtrip_matches_single_device(key):
     )
 
 
-def test_tiled_dsc_rejects_pam():
+def test_tiled_dsc_rejects_w_sharded_pam():
     model = DSCStereoModel(DSC_PRESETS["pam_0031bpp"])
     mesh = make_mesh(n_data=1, n_tile=2, devices=jax.devices()[:2])
     with pytest.raises(ValueError, match="pam"):
-        make_tiled_dsc(model, params=None, mesh=mesh)
+        make_tiled_dsc(model, params=None, mesh=mesh)  # default axis='width'
+
+
+def _tiny_pam_model():
+    import dataclasses
+
+    cfg = dataclasses.replace(DSC_PRESETS["tiny"], fusion_post="pam")
+    return DSCStereoModel(cfg)
+
+
+def test_tiled_dsc_pam_height_sharded_parity(key):
+    """The PAM sharding story as running code (round-2 verdict missing #3):
+    an H-sharded mesh runs the pam-fusion DSC codec with NO attention
+    communication (rows are independent) and matches the unsharded model."""
+    model = _tiny_pam_model()
+    k1, k2 = jax.random.split(key)
+    # H=128 → latent H=8 → 4 rows per shard (> disk(3) morphology halo)
+    im1 = jax.random.uniform(k1, (1, 128, 128, 3), jnp.float32)
+    im2 = jnp.clip(
+        jnp.roll(im1, 4, axis=2) + 0.05 * jax.random.normal(k2, im1.shape), 0, 1
+    )
+    params = model.init({"params": key, "quant": key}, im1, im2, train=False)
+    ref = model.apply(params, im1, im2, train=False)
+
+    mesh = make_mesh(n_data=1, n_tile=2, devices=jax.devices()[:2])
+    encode_fn, decode_fn = make_tiled_dsc(model, params, mesh, axis="height")
+
+    code = encode_fn(im1)
+    np.testing.assert_array_equal(np.asarray(code), np.asarray(ref["code"]))
+
+    # per-tile streams split along H for an H-sharded codec
+    step = float(model.config.coarse_step)
+    sym = np.round(np.asarray(code) / step).astype(np.int64)
+    codec = build_cdf_tables_from_histogram(sym, channel_axis=-1)
+    ts = encode_tiles_to_streams(np.asarray(code), codec, n_tiles=2, step=step, axis=1)
+    rec_code = decode_streams_to_code(ts, codec, step=step, axis=1)
+    np.testing.assert_array_equal(rec_code, np.asarray(code))
+
+    recon = decode_fn(rec_code, im2)
+    np.testing.assert_allclose(
+        np.asarray(recon), np.asarray(ref["recon"]), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_ring_pam_matches_replicated(key):
+    """The ring K/V exchange along W (the true ring-attention analog,
+    SURVEY.md §5): ppermute online-softmax PAM == the replicated PAM module."""
+    from iclr_17_compression_tpu.models.passr import PAM
+    from iclr_17_compression_tpu.parallel.ring_pam import pam_eval_ring
+
+    c = 8
+    k1, k2 = jax.random.split(key)
+    xl = jax.random.normal(k1, (2, 4, 64, c), jnp.float32)
+    xr = jax.random.normal(k2, (2, 4, 64, c), jnp.float32)
+    pam = PAM(c)
+    params = pam.init(key, xl, xr, train=False)
+
+    ref = pam.apply(params, xl, xr, train=False)
+
+    mesh = make_mesh(n_data=1, n_tile=8)
+    out = pam_eval_ring(params["params"], xl, xr, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
 def test_per_tile_stream_roundtrip(rng):
