@@ -126,3 +126,45 @@ class TestConvGDNFused:
         ref = model.apply(params, x)
         out = analysis17_fused(params["params"], x, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+class TestQuantizePack:
+    """Quantize+clamp+pack epilogue (ops/pallas/quant_pack_kernel.py) —
+    symbols must be the exact bytes the entropy coder consumes (reference
+    coarse quantization: models/temp.py:254-260)."""
+
+    @pytest.mark.parametrize("shape,step,clip", [
+        ((2, 5, 7, 8), 16.0, 128.0),   # DSC coarse code (+ ragged rows)
+        ((1, 4, 8, 128), 1.0, 127.0),  # Ballé-17 latent
+    ])
+    def test_pallas_matches_xla(self, key, shape, step, clip):
+        from iclr_17_compression_tpu.ops.pallas.quant_pack_kernel import (
+            quantize_pack_pallas,
+            quantize_pack_xla,
+        )
+
+        x = jax.random.normal(key, shape, jnp.float32) * 60.0
+        sx, dx = quantize_pack_xla(x, step, clip)
+        sp, dp = quantize_pack_pallas(x, step, clip, tile=8, interpret=True)
+        np.testing.assert_array_equal(np.asarray(sx), np.asarray(sp))
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(dp))
+        assert sx.dtype == jnp.uint8
+        # symbols dequantize back to the clamped step grid
+        lim = int(clip / step)
+        np.testing.assert_allclose(
+            (np.asarray(sx, np.float32) - lim) * step, np.asarray(dx)
+        )
+
+    def test_symbols_feed_rans(self, key):
+        """uint8 symbols from the kernel round-trip the C++ coder."""
+        from iclr_17_compression_tpu.coding import build_cdf_tables_from_histogram
+        from iclr_17_compression_tpu.coding.api import decode_latent, encode_latent
+        from iclr_17_compression_tpu.ops.pallas.quant_pack_kernel import quantize_pack_xla
+
+        x = jax.random.normal(key, (1, 6, 10, 4), jnp.float32) * 60.0
+        sym_u8, _ = quantize_pack_xla(x, 16.0, 128.0)
+        sym = np.asarray(sym_u8, np.int64)[0]
+        codec = build_cdf_tables_from_histogram(sym, channel_axis=-1)
+        stream = encode_latent(codec, sym)
+        back = decode_latent(codec, stream, sym.shape)
+        np.testing.assert_array_equal(back, sym)
