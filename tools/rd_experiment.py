@@ -64,7 +64,8 @@ def main(ckpt_dirs):
     for d in ckpt_dirs:
         name = os.path.basename(os.path.normpath(d))
         ck = latest_ckpt(d)
-        params = load_params(template, ck)
+        # training-CLI iter_*.ckpt files hold the bare params subtree
+        params = {"params": load_params(template["params"], ck)}
         est = eval_kodak(model, params, images, use_rans=False)
         res = eval_kodak(model, params, images, use_rans=True)
         pt = {
