@@ -51,7 +51,8 @@ def quantize_pack_xla(
 def _qp_kernel(x_ref, sym_ref, deq_ref, *, step, lim):
     x = x_ref[...]
     sym = jnp.clip(jnp.round(x * (1.0 / step)), -lim, lim)
-    sym_ref[...] = (sym + lim).astype(jnp.uint8)
+    # Mosaic has no f32->u8 cast; go through i32 (value range is [0, 2*lim])
+    sym_ref[...] = (sym + lim).astype(jnp.int32).astype(jnp.uint8)
     deq_ref[...] = (sym * step).astype(x.dtype)
 
 
