@@ -40,7 +40,11 @@ import numpy as np
 MAGIC = b"ICZ1"
 KIND_BALLE17 = 1
 KIND_DSC = 2
-KIND_JOINT = 3
+# 3 was the raster-scan joint-AR layout; the symbol order changed to
+# wavefront (models/cheng2020.py) which silently re-interprets old streams,
+# so the kind byte was retired — old files now fail loudly as "unknown kind"
+# instead of decoding into garbage.
+KIND_JOINT = 6  # joint-AR, wavefront symbol order
 KIND_DSC_COMPOSITE = 4  # base DSC code + rate-regression residual code
 KIND_HYPERPRIOR = 5  # scale hyperprior: factorized z + Laplace(0, sigma) y
 
@@ -184,6 +188,11 @@ def _read_header(r: _Reader) -> Tuple[int, str, int, int, int]:
     if magic != MAGIC:
         raise ValueError("not an ICZ1 bitstream")
     kind, nlen = r.take("BB")
+    if kind == 3:
+        raise ValueError(
+            "kind=3 is the retired raster-scan joint-AR layout; this build "
+            "writes wavefront-order streams (kind=6) — re-encode the file"
+        )
     name = r.data[r.off: r.off + nlen].decode()
     r.off += nlen
     n, h, w = r.take("HII")
@@ -506,7 +515,10 @@ def main(argv=None):
             data = f.read()
         kind, name, n, _, _ = _read_header(_Reader(data))
         spec = {KIND_BALLE17: "balle17", KIND_JOINT: "joint"}.get(kind, name)
-        _, model, _ = build_model(spec, n)
+        # --m must reach the params template too: the payload carries M and
+        # decode_image honors it, but a hyperprior checkpoint trained with a
+        # non-default M would fail to load into an M=320-shaped template.
+        _, model, _ = build_model(spec, n, args.m)
         params = load_params(kind, model, spec, args.ckpt)
         si = load_image(args.si) if args.si else None
         if kind == KIND_DSC_COMPOSITE:

@@ -86,6 +86,11 @@ class _LRUBytes:
             limit = _decode_cache_limit_bytes()
             if arr.nbytes > limit:
                 return
+            # np.ascontiguousarray is a no-copy pass-through for contiguous
+            # slices, so the cached buffer can escape to callers; freezing it
+            # turns any future in-place edit into a loud error instead of
+            # silent cache corruption.
+            arr.flags.writeable = False
             self._d[key] = arr
             self._bytes += arr.nbytes
             while self._bytes > limit and self._d:
@@ -118,6 +123,24 @@ def floor_to_multiple(img: np.ndarray, m: int) -> np.ndarray:
     nh, nw = (h // m) * m, (w // m) * m
     top, left = (h - nh) // 2, (w - nw) // 2
     return img[top: top + nh, left: left + nw]
+
+
+def _fit_for_crop(ch: int, cw: int, *imgs: np.ndarray):
+    """Jointly upscale ``imgs`` so a (ch, cw) crop fits in all of them.
+
+    Batched training requires uniform item shapes (np.stack in
+    _assemble_batch); shrinking the crop per item — the pre-round-4 behavior
+    — crashed any batch mixing undersized and full-size images. Identical
+    scaling of every view preserves cross-image row correspondence
+    (disparity scales with it). Returns (h, w, *scaled_imgs)."""
+    h = min(im.shape[0] for im in imgs)
+    w = min(im.shape[1] for im in imgs)
+    if h >= ch and w >= cw:
+        return (h, w) + tuple(imgs)
+    s = max(ch / h, cw / w)
+    nh = max(ch, int(round(h * s)))
+    nw = max(cw, int(round(w * s)))
+    return (nh, nw) + tuple(_resize(im, nh, nw) for im in imgs)
 
 
 class _EpochSeeded:
@@ -242,8 +265,7 @@ class StereoPairDataset(_EpochSeeded):
         a, b = _load(self.left[i]), _load(self.right[i])
         if self.train and self.crop is not None:
             ch, cw = self.crop
-            h, w = min(a.shape[0], b.shape[0]), min(a.shape[1], b.shape[1])
-            ch, cw = min(ch, h), min(cw, w)
+            h, w, a, b = _fit_for_crop(ch, cw, a, b)
             top = rng.randint(0, h - ch)
             left = rng.randint(0, w - cw)
             a = a[top: top + ch, left: left + cw]
@@ -301,8 +323,7 @@ class StereoKittiDataset(StereoPairDataset):
         a, b = _load(lp), _load(rp)
         if self.train and self.crop is not None:
             ch, cw = self.crop
-            h, w = min(a.shape[0], b.shape[0]), min(a.shape[1], b.shape[1])
-            ch, cw = min(ch, h), min(cw, w)
+            h, w, a, b = _fit_for_crop(ch, cw, a, b)
             top = rng.randint(0, h - ch)
             left = rng.randint(0, w - cw)
             a = a[top: top + ch, left: left + cw]
@@ -387,8 +408,7 @@ class StereoHoloPixDataset(_EpochSeeded):
         a, b = floor_to_multiple(a, self.multiple), floor_to_multiple(b, self.multiple)
         if self.random_crop:
             ch, cw = self.crop
-            h, w = min(a.shape[0], b.shape[0]), min(a.shape[1], b.shape[1])
-            ch, cw = min(ch, h), min(cw, w)
+            h, w, a, b = _fit_for_crop(ch, cw, a, b)
             top = rng.randint(0, h - ch)
             left = rng.randint(0, w - cw)
             a = a[top: top + ch, left: left + cw]
@@ -427,8 +447,7 @@ class FIFEnhanceDataset(_EpochSeeded):
         im_si = _load(rp.replace("reconstructed", "SI_warped"))
         if self.random_crop:
             ch, cw = self.crop
-            h, w = im_rec.shape[:2]
-            ch, cw = min(ch, h), min(cw, w)
+            h, w, im_rec, im_orig, im_si = _fit_for_crop(ch, cw, im_rec, im_orig, im_si)
             top = rng.randint(0, h - ch)
             left = rng.randint(0, w - cw)
             sl = np.s_[top: top + ch, left: left + cw]
@@ -466,8 +485,7 @@ class StereoPassrDataset(_EpochSeeded):
         lp, rp = self.pairs[i]
         left, right = _load(lp), _load(rp)
         ch, cw = self.crop
-        h, w = min(left.shape[0], right.shape[0]), min(left.shape[1], right.shape[1])
-        ch, cw = min(ch, h), min(cw, w)
+        h, w, left, right = _fit_for_crop(ch, cw, left, right)
         if self.train:
             top = rng.randint(0, h - ch)
             lft = rng.randint(0, w - cw)
@@ -521,8 +539,7 @@ class StereoPlusDataset(_EpochSeeded):
         )
         if self.random_crop:
             ch, cw = self.crop
-            h, w = min(a.shape[0], b.shape[0]), min(a.shape[1], b.shape[1])
-            ch, cw = min(ch, h), min(cw, w)
+            h, w, a, b = _fit_for_crop(ch, cw, a, b)
             top = rng.randint(0, h - ch)
             left = rng.randint(0, w - cw)
             a = a[top: top + ch, left: left + cw]

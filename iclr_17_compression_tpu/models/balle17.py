@@ -40,13 +40,15 @@ class Analysis17(fnn.Module):
 
     out_channel_n: int = 128
     binarize: bool = False
+    input_block: int = 1   # 4 → expect space_to_depth(x, 4) input (see
+                           # ops.conv blocking notes; params unchanged)
 
     @fnn.compact
     def __call__(self, x):
         n = self.out_channel_n
         g1 = math.sqrt(2 * (3 + n) / 6)
         x = TorchConv(
-            n, 9, stride=4, padding=4,
+            n, 9, stride=4, padding=4, input_block=self.input_block,
             weight_init=xavier_normal_gain(g1), bias_init=_B001, name="conv1",
         )(x)
         x = GDN(name="gdn1")(x)
@@ -69,6 +71,8 @@ class Synthesis17(fnn.Module):
     """3-stage synthesis transform (×16), mirror of Analysis17."""
 
     out_channel_n: int = 128
+    output_block: int = 1  # 4 → emit space_to_depth-blocked recon (see
+                           # ops.conv blocking notes; params unchanged)
 
     @fnn.compact
     def __call__(self, x):
@@ -86,6 +90,7 @@ class Synthesis17(fnn.Module):
         x = GDN(inverse=True, name="igdn2")(x)
         x = TorchConvTranspose(
             3, 9, stride=4, padding=4, output_padding=3,
+            output_block=self.output_block,
             weight_init=xavier_normal_gain(sq2), bias_init=_B001, name="deconv3",
         )(x)
         return x
@@ -107,15 +112,25 @@ class Balle17Compressor(fnn.Module):
 
     out_channel_n: int = 128
     quant: str = "noise-round"
+    io_block: int = 1      # 4 → blocked image I/O: __call__ takes
+                           # space_to_depth(image, 4) and returns a blocked
+                           # recon (depth_to_space at the data layer). Params
+                           # identical to the unblocked graph; mse/bpp are
+                           # permutation-invariant so the loss is unchanged.
 
     @fnn.compact
     def __call__(self, image, train: bool = False, rng: Optional[jax.Array] = None):
         n, h, w, _ = image.shape
         if self.quant == "binarize":
-            code, pre = Analysis17(self.out_channel_n, binarize=True, name="encoder")(image)
+            code, pre = Analysis17(
+                self.out_channel_n, binarize=True,
+                input_block=self.io_block, name="encoder",
+            )(image)
             latent = code
         else:
-            feature = Analysis17(self.out_channel_n, name="encoder")(image)
+            feature = Analysis17(
+                self.out_channel_n, input_block=self.io_block, name="encoder"
+            )(image)
             if train and self.quant == "noise-round":
                 if rng is None:
                     rng = self.make_rng("quant")
@@ -125,14 +140,17 @@ class Balle17Compressor(fnn.Module):
             else:
                 latent = jnp.round(feature)
 
-        recon = Synthesis17(self.out_channel_n, name="decoder")(latent)
+        recon = Synthesis17(
+            self.out_channel_n, output_block=self.io_block, name="decoder"
+        )(latent)
         clipped = jnp.clip(recon, 0.0, 1.0)
         mse = jnp.mean((recon - image) ** 2)
 
+        n_pix = n * h * w * self.io_block * self.io_block
         out = {"recon": clipped, "latent": latent, "mse": mse}
         if self.quant == "binarize":
             out["pre_binarize"] = pre
-            out["bpp"] = jnp.float32(latent.size / (n * h * w))
+            out["bpp"] = jnp.float32(latent.size / n_pix)
         else:
             cdf = BitEstimator(self.out_channel_n, name="bit_estimator")
             # rate term in fp32 always: under bf16 storage the CDF difference
@@ -144,5 +162,5 @@ class Balle17Compressor(fnn.Module):
             total_bits = jnp.sum(
                 jnp.clip(-jnp.log(prob + 1e-10) / LOG2, 0.0, 50.0)
             )
-            out["bpp"] = total_bits / (n * h * w)
+            out["bpp"] = total_bits / n_pix
         return out

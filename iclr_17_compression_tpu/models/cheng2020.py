@@ -287,14 +287,26 @@ class _HostARContext:
         self.w0_h = np.ascontiguousarray(w0[:nh])  # hyper half
         self.w0_c = np.ascontiguousarray(w0[nh:])  # context half
         self.b0 = b0
-        # "above" taps (rows 0,1 of the masked kernel) as one GEMM matrix
-        self.w_above = np.ascontiguousarray(
-            self.ctx_w[:2].reshape(2 * kw * m, 2 * m)
+        # ALL 12 live taps — rows 0,1 of the masked 5×5 kernel (10 "above"
+        # taps) + same-row cols 0,1 (2 "left" taps) — as ONE (12·M, 2M) GEMM
+        # matrix. Every tap a wavefront-t pixel reads is final before front
+        # t (worst cases (i-1, j+2) → t-1 and (i, j-1) → t-1), so a single
+        # fused gather+GEMM is exact. Tap order must match _tap_offsets.
+        self.w_taps = np.ascontiguousarray(
+            np.concatenate(
+                [
+                    self.ctx_w[:2].reshape(2 * kw * m, 2 * m),
+                    self.ctx_w[kh // 2, : kw // 2].reshape((kw // 2) * m, 2 * m),
+                ],
+                axis=0,
+            )
         )
-        # same-row "left" taps (row 2, cols 0,1): (2·M, 2M)
-        self.w_left = np.ascontiguousarray(
-            self.ctx_w[kh // 2, : kw // 2].reshape((kw // 2) * m, 2 * m)
-        )
+        # tap (row, col) offsets into the padded ŷ, same order as w_taps rows
+        offs = [(r, c) for r in range(2) for c in range(kw)] + [
+            (kh // 2, c) for c in range(kw // 2)
+        ]
+        self.off_r = np.array([o[0] for o in offs], np.int64)
+        self.off_c = np.array([o[1] for o in offs], np.int64)
 
     def prep(self, hyper: np.ndarray) -> np.ndarray:
         """Per-image precompute: conv0's hyper contribution + both biases,
@@ -313,21 +325,29 @@ class _HostARContext:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """(mu, sigma), each (P, M), for the wavefront pixels (ii, jj).
         ``y_hat_pad`` is ŷ zero-padded by kh//2 / kw//2; entries this
-        wavefront depends on are already final."""
-        m, kw = self.m, self.kw
+        wavefront depends on are already final.
+
+        Perf shape (measured, BASELINE.md): the wavefront P is 1..~17; BLAS
+        sgemm at M-dim < 16 runs 6-8× below its M=16 rate, so lanes are
+        padded to a multiple of 16 (padded lanes gather pixel (0,0) and are
+        sliced off — a few % extra FLOPs for a ~3× wall-clock win), and all
+        12 context taps go through one gather + one (P,12M)@(12M,2M) GEMM."""
+        m = self.m
         p_n = ii.shape[0]
-        # above window: rows ii..ii+1 (padded) × cols jj..jj+4 → (P, 2, 5, M)
-        rows = ii[:, None, None] + np.arange(2)[None, :, None]
-        cols = jj[:, None, None] + np.arange(kw)[None, None, :]
-        above = y_hat_pad[rows, cols].reshape(p_n, -1) @ self.w_above
-        # left taps: padded row ii+2, cols jj+0, jj+1 → (P, 2, M)
-        lcols = jj[:, None] + np.arange(kw // 2)[None, :]
-        left = y_hat_pad[ii[:, None] + 2, lcols].reshape(p_n, -1) @ self.w_left
-        x = base[ii, jj] + (above + left) @ self.w0_c
+        p_pad = -(-p_n // 16) * 16
+        if p_pad != p_n:
+            zi = np.zeros(p_pad - p_n, np.int64)
+            ii = np.concatenate([ii, zi])
+            jj = np.concatenate([jj, zi])
+        rows = ii[:, None] + self.off_r[None, :]
+        cols = jj[:, None] + self.off_c[None, :]
+        taps = y_hat_pad[rows, cols].reshape(p_pad, -1)  # (P, 12·M)
+        x = base[ii, jj] + (taps @ self.w_taps) @ self.w0_c
         np.maximum(x, 0.01 * x, out=x)  # leaky_relu(0.01)
         x = x @ self.ep[1][0] + self.ep[1][1]
         np.maximum(x, 0.01 * x, out=x)
         x = x @ self.ep[2][0] + self.ep[2][1]
+        x = x[:p_n]
         sigma = np.maximum(np.abs(x[:, :m]), scale_bound)
         return x[:, m:], sigma
 

@@ -448,6 +448,17 @@ DSC_PRESETS = {
         fine_noise=8.0, coarse_noise=8.0, coarse_step=16.0,
         loss="l1",
     ),
+    # models/temp_016bpp.py @ reference HEAD — the SI-ablation state of the
+    # file (temp_016bpp.py:129 concatenates zeros for z2). Checkpoints saved
+    # from reference HEAD import into THIS preset with no caller-side
+    # si_mode override; 'temp_016bpp' above is the pre-ablation behavior.
+    "temp_016bpp_si_ablation": _preset(
+        "temp_016bpp_si_ablation", code_channels=41,
+        ga22=_ga22_wide(41), gs22=_gs22_wide(41, 128),
+        fine_noise=8.0, coarse_noise=8.0, coarse_step=16.0,
+        si_mode="zero_si",
+        loss="l1",
+    ),
     # models/high_bit_rate_model.py — 32-ch code, fine quant (step 1)
     "high_bit_rate": _preset(
         "high_bit_rate", code_channels=32,

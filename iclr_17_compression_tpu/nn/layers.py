@@ -54,6 +54,15 @@ class TorchConv(fnn.Module):
     """NHWC conv with torch nn.Conv2d shape semantics and default init.
 
     weight: HWIO (kh, kw, Cin, Cout).
+
+    ``input_block = s`` (with stride s, kernel 2s+1, padding s — the
+    Ballé-17 conv1 pattern): the input is expected pre-blocked by
+    ``ops.conv.space_to_depth(x, s)`` (done at the DATA layer, where it is
+    free) and the conv runs as a dense 3×3 stride-1 GEMM over s²·Cin lanes.
+    The parameter KEEPS its canonical (2s+1, 2s+1, Cin, Cout) shape —
+    checkpoints are interchangeable between blocked and unblocked graphs;
+    the reinterpretation (ops.conv.block_conv_weight) is a trace-time
+    reshape of a 31 KB tensor.
     """
 
     features: int
@@ -63,6 +72,7 @@ class TorchConv(fnn.Module):
     dilation: Union[int, Sequence[int]] = 1
     use_bias: bool = True
     groups: int = 1
+    input_block: int = 1
     weight_init: Optional[Callable] = None
     bias_init: Optional[Callable] = None
 
@@ -70,6 +80,15 @@ class TorchConv(fnn.Module):
     def __call__(self, x):
         cin = x.shape[-1]
         kh, kw = ops_conv._pair(self.kernel_size)
+        s = self.input_block
+        if s > 1:
+            assert self.groups == 1 and self.dilation == 1
+            assert (kh, kw) == (2 * s + 1, 2 * s + 1) and ops_conv._pair(
+                self.padding
+            ) == (s, s) and ops_conv._pair(self.stride) == (s, s), (
+                "input_block covers the k=2s+1/pad=s/stride=s edge-conv shape"
+            )
+            cin = cin // (s * s)
         fan_in = (cin // self.groups) * kh * kw
         w_init = self.weight_init or torch_conv_default_init(fan_in)
         w = self.param("weight", w_init, (kh, kw, cin // self.groups, self.features))
@@ -77,6 +96,10 @@ class TorchConv(fnn.Module):
         if self.use_bias:
             b_init = self.bias_init or torch_conv_default_init(fan_in)
             b = self.param("bias", b_init, (self.features,))
+        if s > 1:
+            return ops_conv.conv2d(
+                x, ops_conv.block_conv_weight(w, s), b, stride=1, padding=1
+            )
         return ops_conv.conv2d(
             x, w, b, stride=self.stride, padding=self.padding,
             dilation=self.dilation, groups=self.groups,
@@ -88,6 +111,13 @@ class TorchConvTranspose(fnn.Module):
 
     weight stored in equivalent-forward-conv HWIO layout (pre-flipped); the
     torch importer converts torch's (Cin, Cout, kh, kw) into this layout.
+
+    ``output_block = s`` (with stride s, kernel 2s+1, padding s,
+    output_padding s−1 — the Ballé-17 deconv3 pattern): emits the output
+    space-to-depth-blocked, (B, H, W, s²·Cout), as a dense 3×3 stride-1 conv
+    (ops.conv.block_deconv_weight); un-block with
+    ``ops.conv.depth_to_space(y, s)`` at the data layer. Parameter shapes
+    are unchanged — checkpoints are interchangeable with the unblocked graph.
     """
 
     features: int
@@ -96,6 +126,7 @@ class TorchConvTranspose(fnn.Module):
     padding: Union[int, Sequence[int]] = 0
     output_padding: Union[int, Sequence[int]] = 0
     use_bias: bool = True
+    output_block: int = 1
     weight_init: Optional[Callable] = None
     bias_init: Optional[Callable] = None
 
@@ -111,6 +142,18 @@ class TorchConvTranspose(fnn.Module):
         if self.use_bias:
             b_init = self.bias_init or torch_conv_default_init(fan_in)
             b = self.param("bias", b_init, (self.features,))
+        s = self.output_block
+        if s > 1:
+            assert (kh, kw) == (2 * s + 1, 2 * s + 1) and ops_conv._pair(
+                self.padding
+            ) == (s, s) and ops_conv._pair(self.stride) == (s, s) and ops_conv._pair(
+                self.output_padding
+            ) == (s - 1, s - 1), (
+                "output_block covers the k=2s+1/pad=s/stride=s/op=s-1 shape"
+            )
+            wb = ops_conv.block_deconv_weight(w, s)
+            bb = None if b is None else jnp.tile(b, s * s)
+            return ops_conv.conv2d(x, wb, bb, stride=1, padding=1)
         return ops_conv.conv_transpose2d(
             x,
             w,

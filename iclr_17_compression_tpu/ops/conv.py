@@ -327,3 +327,73 @@ def avg_pool2d(x: jax.Array, k: int = 2, stride: int | None = None) -> jax.Array
         padding="VALID",
     )
     return out / (k * k)
+
+
+# ---------------------------------------------------------------------------
+# First/last-layer I/O blocking (space-to-depth at the DATA layer).
+#
+# The Ballé-17 edge convs (9×9 s4, Cin/Cout = 3) use ≤ 2.3% of the MXU's
+# 128 input lanes — the committed round-3 profile put conv1 ~6 ms above its
+# bandwidth floor at batch-128 Kodak (BASELINE.md). Re-blocking the image
+# ON DEVICE costs more in transpose traffic than the lanes recover (measured,
+# tools/exp_kernels.py); blocking at the data layer (host numpy, amortized
+# into the input pipeline) makes the edge convs dense 48-lane GEMMs with NO
+# device-side layout work. Channel order within a block is (r_h, r_w, c) —
+# r-major, channel fastest — and the weight rearrangements in nn/layers.py
+# (TorchConv.input_block / TorchConvTranspose.output_block) match it, so the
+# canonical (9,9,3,N) checkpoint weights are reinterpreted exactly.
+# ---------------------------------------------------------------------------
+
+def space_to_depth(x, r: int):
+    """NHWC (B, H, W, C) → (B, H/r, W/r, r·r·C), block layout (r_h, r_w, c).
+    Works on numpy and jax arrays (pure reshape/transpose)."""
+    if r == 1:
+        return x
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // r, w // r, r * r * c)
+
+
+def depth_to_space(x, r: int):
+    """Inverse of :func:`space_to_depth`."""
+    if r == 1:
+        return x
+    n, h, w, cb = x.shape
+    c = cb // (r * r)
+    x = x.reshape(n, h, w, r, r, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h * r, w * r, c)
+
+
+def block_conv_weight(w: jax.Array, s: int) -> jax.Array:
+    """(k, k, Cin, Cout) stride-s conv weight → (3, 3, s²·Cin, Cout) blocked
+    weight, for k = 2s+1 and padding = s (the Ballé-17 conv1 pattern).
+
+    Derivation: with input blocks x_b[bi, (r, c)] = x[s·bi + r, c] and output
+    grid i, tap di ∈ [0, k) decomposes as di = s·q + r (q ∈ {0,1,2}); taps
+    with di ≥ k are zero (spatial zero-pad k → 3s). The blocked conv runs
+    stride 1, padding 1 (one block = the original padding s)."""
+    k, _, cin, cout = w.shape
+    assert k == 2 * s + 1, (k, s)
+    w = jnp.pad(w, ((0, 3 * s - k), (0, 3 * s - k), (0, 0), (0, 0)))
+    w = w.reshape(3, s, 3, s, cin, cout).transpose(0, 2, 1, 3, 4, 5)
+    return w.reshape(3, 3, s * s * cin, cout)
+
+
+def block_deconv_weight(w: jax.Array, s: int) -> jax.Array:
+    """(k, k, Cin, Cout) stride-s transposed-conv weight (equivalent-forward
+    flipped HWIO layout, as stored by TorchConvTranspose) → (3, 3, Cin,
+    s²·Cout) blocked weight producing space-to-depth-blocked output, for
+    k = 2s+1, padding = s, output_padding = s−1 (the Ballé-17 deconv3
+    pattern).
+
+    Derivation: y[s·bo + po] = Σ_d x[bo + d] · w_f[s·d − po + s] for
+    d ∈ {−1,0,1}; front-padding w_f by s−1 makes the index s·(d+1) + (s−1−po)
+    — i.e. reshape (3, s) then reverse the phase axis."""
+    k, _, cin, cout = w.shape
+    assert k == 2 * s + 1, (k, s)
+    w = jnp.pad(w, ((s - 1, 0), (s - 1, 0), (0, 0), (0, 0)))  # front → 3s
+    w = w.reshape(3, s, 3, s, cin, cout)[:, ::-1, :, ::-1]
+    w = w.transpose(0, 2, 4, 1, 3, 5)  # (D1, D2, Cin, r1, r2, Cout)
+    return w.reshape(3, 3, cin, s * s * cout)

@@ -15,14 +15,35 @@ import re
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import numpy as np
 from flax import serialization
+
+
+def _to_host(tree):
+    """Device→host fetch with PIPELINED transfers.
+
+    ``serialization.to_bytes`` on a device pytree converts leaf-by-leaf;
+    through the remote device tunnel that is one blocking round trip per
+    leaf (~600 leaves × ~23 ms RTT ≈ 14 s per DSC TrainState — measured as
+    ~20 s/checkpoint in round 4). Kicking off every leaf's async copy first
+    overlaps the RTTs; the subsequent np.asarray calls then hit local
+    buffers."""
+    for x in jax.tree_util.tree_leaves(tree):
+        if hasattr(x, "copy_to_host_async"):
+            try:
+                x.copy_to_host_async()
+            except Exception:  # non-device leaf / backend without async copy
+                pass
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if hasattr(x, "dtype") else x, tree
+    )
 
 
 def save_params(params, directory: str, step: int, prefix: str = "iter") -> str:
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"{prefix}_{step}.ckpt")
     with open(path, "wb") as f:
-        f.write(serialization.to_bytes(params))
+        f.write(serialization.to_bytes(_to_host(params)))
     return path
 
 
@@ -68,7 +89,7 @@ def save_train_state(
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"{name}.ckpt")
     with open(path, "wb") as f:
-        f.write(serialization.to_bytes(state))
+        f.write(serialization.to_bytes(_to_host(state)))
     meta = {"epoch": epoch, "loss": loss, "step": int(state.step)}
     if extra:
         meta.update(extra)

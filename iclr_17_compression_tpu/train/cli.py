@@ -300,7 +300,8 @@ def train_dsc(cfg: TrainConfig, name: str, pretrain: str = "", resume: str = "")
             state = set_lr(state, cur_lr)
         if epoch_loss < best_loss:
             best_loss = epoch_loss
-            save_train_state(state, save_dir, "best_train", epoch, epoch_loss)
+            if epoch % cfg.save_epoch_freq == 0:
+                save_train_state(state, save_dir, "best_train", epoch, epoch_loss)
         if val_set is not None:
             v_sum, v_n = 0.0, 0
             for v1, v2 in batch_iterator(
@@ -314,17 +315,18 @@ def train_dsc(cfg: TrainConfig, name: str, pretrain: str = "", resume: str = "")
                 best_val = val_loss
                 save_train_state(state, save_dir, "best_val", epoch, val_loss)
             logger.info("epoch %d val: loss=%.5f (best %.5f)", epoch, val_loss, best_val)
-        if epoch % 10 == 0:
+        if epoch % (10 * cfg.save_epoch_freq) == 0:
             save_train_state(state, save_dir, f"epoch_{epoch}", epoch, epoch_loss)
-        save_train_state(
-            state, save_dir, "latest", epoch, epoch_loss,
-            extra={
-                "next_epoch": epoch + 1,
-                "lr": cur_lr,
-                "plateau_best": plateau.best,
-                "plateau_bad": plateau.bad_epochs,
-            },
-        )
+        if epoch % cfg.save_epoch_freq == 0 or epoch == cfg.tot_epoch - 1:
+            save_train_state(
+                state, save_dir, "latest", epoch, epoch_loss,
+                extra={
+                    "next_epoch": epoch + 1,
+                    "lr": cur_lr,
+                    "plateau_best": plateau.best,
+                    "plateau_bad": plateau.bad_epochs,
+                },
+            )
         logger.info("epoch %d done: loss=%.5f lr=%.2e", epoch, epoch_loss, cur_lr)
         mlog.log(global_step, {"epoch_loss": epoch_loss, "lr": cur_lr}, prefix="epoch/")
     prof.close()

@@ -40,6 +40,11 @@ class TrainConfig:
     loss: Optional[str] = None         # override DSC preset loss
     mesh_data: Optional[int] = None    # None = auto (largest divisor of batch)
     mesh_tile: int = 1                 # spatial W-tiling axis size
+    save_epoch_freq: int = 1           # DSC loop: write latest/best-train
+                                       # ckpts every N epochs (a full
+                                       # TrainState is ~160 MB D2H through
+                                       # the device tunnel; short epochs
+                                       # want N > 1)
     dtype: str = "float32"             # params dtype; compute may be bf16
     save_root: str = "checkpoints"     # checkpoints land in <save_root>/<name>
 

@@ -431,6 +431,141 @@ def import_final_enhance(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return params
 
 
+def _fc_perm(h: int, w: int, c: int) -> np.ndarray:
+    """Flat-index map between torch's NCHW latent flatten (c,h,w order) and
+    this framework's NHWC flatten (h,w,c order): position j of the hwc-flat
+    vector holds chw-flat element perm[j]."""
+    return np.arange(c * h * w).reshape(c, h, w).transpose(1, 2, 0).ravel()
+
+
+def _import_linear(params, path, w, b, in_perm=None, out_perm=None):
+    """torch Linear (out,in) weight → flax Dense (in,out) kernel, with
+    optional flatten-order permutations on either side (y' = Pᵀ(W·Px + b))."""
+    w = np.asarray(w)
+    if out_perm is not None:
+        w = w[out_perm]
+    if in_perm is not None:
+        w = w[:, in_perm]
+    _set(params, f"{path}/kernel", np.ascontiguousarray(w.T))
+    if b is not None:
+        b = np.asarray(b)
+        if out_perm is not None:
+            b = b[out_perm]
+        _set(params, f"{path}/bias", b)
+
+
+def import_fc(sd: Dict[str, np.ndarray], latent_hw) -> Dict[str, Any]:
+    """torch ImageCompressor_fc → models.extra.ImageCompressorFC params.
+
+    Encoder/Decoder/bitEstimator reuse the Ballé-17 map (reference
+    model_fc.py:41-43); ``fc`` (Linear over the NCHW-flattened latent,
+    model_fc.py:45,60-62) needs the chw↔hwc flatten permutation on both
+    sides, derived from ``latent_hw`` = (h, w) of the latent grid (input
+    H/16, W/16) and the conv3 output channels."""
+    params = import_balle17(sd)
+    if "fc.weight" in sd:
+        h, w = latent_hw
+        c = sd["fc.weight"].shape[1] // (h * w)
+        perm = _fc_perm(h, w, c)
+        _import_linear(params, "fc", sd["fc.weight"], sd.get("fc.bias"),
+                       in_perm=perm, out_perm=perm)
+    return params
+
+
+def import_latent_compressor(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """torch ImageCompressor_small → models.extra.LatentCompressor params
+    (reference model_small.py:54-65: conv_down_zx Sequential indices
+    0/2/4/6 interleaved with ReLU; fc_combine_zx_zy indices 0..4)."""
+    params: Dict[str, Any] = {}
+    down = {"0": "down1", "2": "down2", "4": "down3", "6": "down4"}
+    comb = {str(i): f"comb{i + 1}" for i in range(5)}
+    for k, v in sd.items():
+        mod, _, rest = k.partition(".")
+        idx, _, leaf = rest.partition(".")
+        if mod == "conv_down_zx" and idx in down:
+            _put_conv(params, f"{down[idx]}/{leaf}", v)
+        elif mod == "fc_combine_zx_zy" and idx in comb:
+            _put_conv(params, f"{comb[idx]}/{leaf}", v)
+    return params
+
+
+def import_analysis_small(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict[str, Any]:
+    """torch Analysis_small_net → models.extra.AnalysisSmall params
+    (reference models/analysis_small.py:19-35: conv1..4 + gdn1..3 + FC head
+    over the NCHW-flattened conv4 output — 4096 = M×16×16)."""
+    params: Dict[str, Any] = {}
+    m = sd[prefix + "conv4.weight"].shape[0]
+    g = int(round((sd[prefix + "fc1.0.weight"].shape[1] / m) ** 0.5))
+    perm = _fc_perm(g, g, m)
+    for k, v in sd.items():
+        if prefix and not k.startswith(prefix):
+            continue
+        k = k[len(prefix):]
+        if k.startswith("conv"):
+            _put_conv(params, f"{k[:5]}/{k.rsplit('.', 1)[1]}", v)
+        elif k.startswith("gdn"):
+            _set(params, f"{k[:4]}/{k.rsplit('.', 1)[1]}", v)
+    _import_linear(params, "fc1", sd[prefix + "fc1.0.weight"],
+                   sd.get(prefix + "fc1.0.bias"), in_perm=perm)
+    _import_linear(params, "fc2", sd[prefix + "fc2.weight"],
+                   sd.get(prefix + "fc2.bias"))
+    return params
+
+
+def import_synthesis_small(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict[str, Any]:
+    """torch Synthesis_small_net → models.extra.SynthesisSmall params
+    (reference models/synthesis_small.py:15-29; fc2's 4096-dim output is
+    viewed as an NCHW (16,16,16) latent, so its rows get the chw→hwc
+    permutation before the deconv stack)."""
+    params: Dict[str, Any] = {}
+    perm = _fc_perm(16, 16, 16)
+    _import_linear(params, "fc1", sd[prefix + "fc1.0.weight"],
+                   sd.get(prefix + "fc1.0.bias"))
+    _import_linear(params, "fc2", sd[prefix + "fc2.0.weight"],
+                   sd.get(prefix + "fc2.0.bias"), out_perm=perm)
+    for k, v in sd.items():
+        if prefix and not k.startswith(prefix):
+            continue
+        k = k[len(prefix):]
+        if k.startswith("deconv"):
+            name, leaf = k.split(".", 1)
+            if leaf == "weight":
+                _set(params, f"{name}/weight", torch_deconv_weight_to_hwio(v))
+            else:
+                _set(params, f"{name}/bias", v)
+        elif k.startswith("igdn"):
+            _set(params, f"{k.split('.')[0]}/{k.rsplit('.', 1)[1]}", v)
+    return params
+
+
+def import_patch_attention(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """torch BottleneckAttention_modified → models.attention.PatchMatchAttention.
+
+    Mapping (reference models/bottleneck_Att.py:133-135):
+      q_patches.0.{weight,bias}  (Sequential[Conv2d, ReLU])  → q_patches/{weight,bias}
+      k_patches.0.{weight,bias}                              → k_patches/{weight,bias}
+      scale_att  (scalar)                                    → scale_att
+
+    This is the map for the ONE real checkpoint the reference ships
+    (``model_weights.pth`` at the repo root: q/k patch convs with
+    dim=3, dim_head=10, trained by train_Att_EXP.py on raw images; it
+    predates the ``scale_att`` parameter, which merge_partial leaves at the
+    init value 1.0)."""
+    params: Dict[str, Any] = {}
+    for k, v in sd.items():
+        mod, _, rest = k.partition(".")
+        if mod in ("q_patches", "k_patches"):
+            # strip the Sequential index ('0.weight' → 'weight')
+            leaf = rest.split(".")[-1]
+            if leaf == "weight":
+                _set(params, f"{mod}/weight", torch_conv_weight_to_hwio(v))
+            else:
+                _set(params, f"{mod}/bias", v)
+        elif mod == "scale_att":
+            _set(params, "scale_att", np.asarray(v).reshape(()))
+    return params
+
+
 def merge_partial(init_params: Dict[str, Any], imported: Dict[str, Any]) -> Dict[str, Any]:
     """Overlay imported leaves onto an init tree (partial-load semantics of
     reference model.py:26-27); shapes must match where keys intersect."""

@@ -9,9 +9,17 @@ grace_hopper). This script materializes:
                          12x so batch_iterator forms full batches
   <root>/rd_data/eval    right halves (the "Kodak stand-in" eval set; the
                          JPEG anchor runs on these same images)
-  <root>/stereo_data     synthetic stereo pairs for the toy DSC run: right
+  <root>/stereo_data     synthetic stereo pairs for the DSC runs: right
                          eye = row-wise smooth-disparity shift of the left
                          + photometric jitter
+  <root>/rd_data/eval24  24-image eval set matching the Kodak protocol
+                         *shape* (reference train.py:157-198 iterates 24
+                         images and reports per-image rows): diverse crops
+                         of the held-out photo halves + unseen synthetic
+                         textures, ×16-aligned, ≥320 px per side
+  <root>/stereo_eval     24 held-out stereo pairs (built only from eval-side
+                         content) for the DSC R-D protocol
+                         (reference NewTests/test_new_model_reconAndSimilarity.py:98-159)
 
 Usage: python tools/make_offline_data.py [/tmp]
 """
@@ -95,6 +103,115 @@ def make_rd(root):
     print("rd_data:", len(os.listdir(train)), "train /", len(os.listdir(ev)), "eval")
 
 
+def _texture(rng, n=512):
+    """One 1/f-spectrum RGB texture with piecewise-constant patches (same
+    construction as make_rd's training textures, fresh rng → unseen content)."""
+    fy = np.fft.fftfreq(n)[:, None]
+    fx = np.fft.rfftfreq(n)[None, :]
+    rad = np.sqrt(fy ** 2 + fx ** 2)
+    rad[0, 0] = 1.0
+    alpha = rng.uniform(0.8, 1.6)
+    img = np.zeros((n, n, 3))
+    base = None
+    for c in range(3):
+        spec = (
+            rng.standard_normal((n, n // 2 + 1))
+            + 1j * rng.standard_normal((n, n // 2 + 1))
+        ) / rad ** alpha
+        ch = np.fft.irfft2(spec, s=(n, n))
+        if base is None:
+            base = ch
+        mix = rng.uniform(0.5, 0.95)
+        ch = mix * base + (1 - mix) * ch
+        ch = (ch - ch.min()) / (np.ptp(ch) + 1e-9)
+        img[..., c] = ch
+    for _ in range(rng.integers(3, 9)):
+        x0, y0 = rng.integers(0, n, 2)
+        wdt, hgt = rng.integers(30, 200, 2)
+        img[y0:y0 + hgt, x0:x0 + wdt] = (
+            0.7 * img[y0:y0 + hgt, x0:x0 + wdt] + 0.3 * rng.uniform(0, 1, 3)
+        )
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
+def _eval_images(rng):
+    """24 diverse eval images from held-out content only: multi-scale crops
+    of the photo *right* halves (training saw left halves) + fresh-seed
+    textures + texture/photo composites. Returns a list of uint8 arrays."""
+    halves = [_align16(a[:, a.shape[1] // 2:]) for a in photos().values()]
+    out = []
+    # 12 photo-derived: full halves at native res + crops/zooms
+    for a in halves:
+        out.append(a)
+    for a in halves:
+        h, w = a.shape[:2]
+        for _ in range(3):
+            ch = int(rng.integers(min(320, h - 16), h + 1) // 16 * 16)
+            cw = int(rng.integers(min(320, w - 16), w + 1) // 16 * 16)
+            y0 = int(rng.integers(0, h - ch + 1))
+            x0 = int(rng.integers(0, w - cw + 1))
+            crop = a[y0:y0 + ch, x0:x0 + cw]
+            if rng.random() < 0.5:
+                z = Image.fromarray(crop).resize(
+                    ((cw * 3 // 2) // 16 * 16, (ch * 3 // 2) // 16 * 16),
+                    Image.BICUBIC,
+                )
+                crop = np.asarray(z)
+            out.append(crop)
+    # 8 unseen textures
+    for _ in range(8):
+        out.append(_texture(rng))
+    # 4 composites: photo crop pasted over a texture
+    for i in range(4):
+        tex = _texture(rng).copy()
+        a = halves[i % len(halves)]
+        ch, cw = min(256, a.shape[0]), min(256, a.shape[1])
+        patch = a[:ch, :cw]
+        y0 = int(rng.integers(0, tex.shape[0] - ch + 1))
+        x0 = int(rng.integers(0, tex.shape[1] - cw + 1))
+        tex[y0:y0 + ch, x0:x0 + cw] = patch
+        out.append(tex)
+    return out[:24]
+
+
+def make_eval24(root):
+    ev = os.path.join(root, "rd_data", "eval24")
+    os.makedirs(ev, exist_ok=True)
+    rng = np.random.default_rng(24)
+    for i, a in enumerate(_eval_images(rng)):
+        Image.fromarray(a).save(f"{ev}/eval{i + 1:02d}.png")
+    print("eval24:", len(os.listdir(ev)), "images")
+
+
+def _shift_pair(a, rng):
+    """Right eye = row-wise smooth-disparity shift + photometric jitter
+    (same warp family as the training pairs, fresh rng)."""
+    h, w = a.shape[:2]
+    base = rng.integers(6, 20)
+    yy = np.linspace(0, 2 * np.pi * rng.uniform(0.5, 2.0), h)
+    disp = (base + 4 * np.sin(yy + rng.uniform(0, 6)))[:, None]
+    cols = np.clip(np.arange(w)[None, :] + disp, 0, w - 1).astype(int)
+    b = a[np.arange(h)[:, None], cols]
+    return np.clip(b * rng.uniform(0.92, 1.08) + rng.uniform(-0.03, 0.03), 0, 1)
+
+
+def make_stereo_eval(root):
+    """24 held-out stereo pairs for the DSC eval protocol; content drawn only
+    from the eval24 set (never seen by training), floored to ×32."""
+    rng = np.random.default_rng(99)
+    out_l = os.path.join(root, "stereo_eval", "left")
+    out_r = os.path.join(root, "stereo_eval", "right")
+    os.makedirs(out_l, exist_ok=True)
+    os.makedirs(out_r, exist_ok=True)
+    for k, a8 in enumerate(_eval_images(np.random.default_rng(24))):
+        h, w = (a8.shape[0] // 32) * 32, (a8.shape[1] // 32) * 32
+        a = a8[:h, :w].astype(np.float32) / 255.0
+        b = _shift_pair(a, rng)
+        Image.fromarray((a * 255).astype(np.uint8)).save(f"{out_l}/{k:04d}.png")
+        Image.fromarray((b * 255).astype(np.uint8)).save(f"{out_r}/{k:04d}.png")
+    print("stereo_eval:", len(os.listdir(out_l)), "pairs")
+
+
 def make_stereo(root):
     rng = np.random.default_rng(3)
     train = os.path.join(root, "rd_data", "train")
@@ -124,3 +241,5 @@ if __name__ == "__main__":
     root = sys.argv[1] if len(sys.argv) > 1 else "/tmp"
     make_rd(root)
     make_stereo(root)
+    make_eval24(root)
+    make_stereo_eval(root)
