@@ -194,7 +194,7 @@ def bench_dsc() -> dict:
     }
 
 
-def bench_dsc_serving() -> dict:
+def bench_dsc_serving(batch: int = 4) -> dict:
     """The REAL DSC serving split (reference models/temp.py:232-292):
     encode = what the transmitter runs (g_a → g_a22 → coarse quantize+clamp,
     never sees the SI image); decode = the DSCDecoder receiver subgraph
@@ -206,7 +206,7 @@ def bench_dsc_serving() -> dict:
     from iclr_17_compression_tpu.models.dsc import DSCDecoder, _Stack
     from iclr_17_compression_tpu.ops.precision import cast_storage
 
-    h, w, batch = 320, 1216, 4
+    h, w = 320, 1216
     rng = jax.random.PRNGKey(1)
     im1 = jax.random.uniform(rng, (batch, h, w, 3), jnp.float32)
     im2 = jax.random.uniform(jax.random.fold_in(rng, 1), (batch, h, w, 3), jnp.float32)
@@ -263,6 +263,29 @@ def bench_dsc_serving() -> dict:
             "mfu": round(flops * iters / dt / PEAK_FLOPS, 4) if flops else None,
         }
     return out
+
+
+def bench_dsc_serving_sweep() -> dict:
+    """Batch sweep of the serving split (round-3 verdict item #3): dispatch
+    tax and lane under-fill make small batches look bandwidth-bound — the
+    sweep finds each path's best operating batch. OOM at a batch is reported,
+    not hidden."""
+    batches = [
+        int(b)
+        for b in os.environ.get("ICLR17C_DSC_SWEEP", "1,4,16,64").split(",")
+    ]
+    sweep = {}
+    for b in batches:
+        try:
+            sweep[str(b)] = bench_dsc_serving(b)
+        except Exception as e:  # e.g. RESOURCE_EXHAUSTED at large batch
+            sweep[str(b)] = {"error": type(e).__name__, "msg": str(e)[:200]}
+    best = {}
+    for path in ("dsc_encode", "dsc_decode"):
+        ok = [v[path] for v in sweep.values() if path in v]
+        if ok:
+            best[path] = max(ok, key=lambda r: r["mpix_s"])
+    return {"dsc_serving_sweep": sweep, **best}
 
 
 def bench_joint_host_codec() -> dict:
@@ -359,7 +382,7 @@ def main():
         extra["balle17_bf16_unblocked"] = bench_balle17(jnp.bfloat16)
         extra["balle17_fp32"] = bench_balle17(jnp.float32)
         extra["dsc_0031bpp_trainfwd"] = bench_dsc()
-        extra.update(bench_dsc_serving())
+        extra.update(bench_dsc_serving_sweep())
         extra["joint_ar"] = bench_joint()
         extra["joint_host_codec"] = bench_joint_host_codec()
     extra["balle17_bf16"] = {k: v for k, v in primary.items() if k != "mpix_s"}

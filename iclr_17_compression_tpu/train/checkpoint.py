@@ -39,11 +39,19 @@ def _to_host(tree):
     )
 
 
+def _atomic_write(path: str, data: bytes):
+    """tmp + rename so concurrent readers (eval tools snapshotting
+    ``latest.ckpt`` mid-training) never see a truncated msgpack."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
 def save_params(params, directory: str, step: int, prefix: str = "iter") -> str:
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"{prefix}_{step}.ckpt")
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(_to_host(params)))
+    _atomic_write(path, serialization.to_bytes(_to_host(params)))
     return path
 
 
@@ -88,8 +96,7 @@ def save_train_state(
     """Rich checkpoint: full TrainState + metadata sidecar."""
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"{name}.ckpt")
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(_to_host(state)))
+    _atomic_write(path, serialization.to_bytes(_to_host(state)))
     meta = {"epoch": epoch, "loss": loss, "step": int(state.step)}
     if extra:
         meta.update(extra)

@@ -138,7 +138,10 @@ def train_single_image(cfg: TrainConfig, name: str, pretrain: str = "", resume: 
     validate_tile_extent(cfg.image_size, mesh.devices.shape[1], total_div=16)
     logger.info("mesh: data=%d tile=%d", *mesh.devices.shape)
     if cfg.model == "balle17":
-        step_fn = shard_train_step(make_balle17_train_step(cfg.train_lambda), mesh)
+        step_fn = shard_train_step(
+            make_balle17_train_step(cfg.train_lambda, distortion=cfg.loss or "mse"),
+            mesh,
+        )
     else:
         step_fn = shard_train_step(make_hyperprior_train_step(cfg.train_lambda), mesh)
     state = put_replicated(state, mesh)

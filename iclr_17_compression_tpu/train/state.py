@@ -52,16 +52,28 @@ def create_train_state(
 
 
 # ---------------------------------------------------------------------------
-# Ballé-17: rd_loss = λ·mse + bpp  (reference train.py:100-102)
+# Ballé-17: rd_loss = λ·mse + bpp  (reference train.py:100-102).
+# distortion='msssim' swaps the distortion term for 1−MS-SSIM (the
+# reference's MS-SSIM-trained operating points; loss form as in
+# train_reg0.065model.py:125-138 which optimizes 1−ms_ssim).
 # ---------------------------------------------------------------------------
 
-def make_balle17_train_step(train_lambda: float = 8192.0):
+def make_balle17_train_step(train_lambda: float = 8192.0, distortion: str = "mse"):
     def train_step(state: TrainState, batch: jax.Array, rng: jax.Array):
         def loss_fn(params):
             out = state.apply_fn(
                 {"params": params}, batch, train=True, rngs={"quant": rng}
             )
-            rd_loss = train_lambda * out["mse"] + out["bpp"]
+            if distortion == "msssim":
+                from ..ops.metrics import ms_ssim
+
+                # window 11 needs ≥ 176 px for 5 scales; small crops use the
+                # reference's small-image window 7 (SURVEY §6 eval constants)
+                win = 11 if min(batch.shape[1:3]) >= 176 else 7
+                d = 1.0 - ms_ssim(out["recon"], batch, win_size=win)
+            else:
+                d = out["mse"]
+            rd_loss = train_lambda * d + out["bpp"]
             return rd_loss, out
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

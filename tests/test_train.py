@@ -36,12 +36,54 @@ class TestTrainStep:
         assert losses[-1] < losses[0]
         assert int(state.step) == 12
 
+    def test_msssim_distortion_step(self, key):
+        """distortion='msssim' (the MS-SSIM-trained operating points;
+        reference train_reg0.065model.py:125-138 loss form) trains."""
+        model = Balle17Compressor(out_channel_n=8)
+        x = jax.random.uniform(key, (2, 64, 64, 3), jnp.float32)
+        state = create_train_state(model, key, (x,), lr=1e-3)
+        step = jax.jit(make_balle17_train_step(64.0, distortion="msssim"))
+        losses = []
+        rng = key
+        for i in range(8):
+            rng = jax.random.fold_in(rng, i)
+            state, metrics = step(state, x, rng)
+            losses.append(float(metrics["rd_loss"]))
+        assert all(l == l for l in losses)  # finite
+        assert losses[-1] < losses[0]
+
     def test_grad_clip_present(self, key):
         model = Balle17Compressor(out_channel_n=8)
         x = jax.random.uniform(key, (1, 32, 32, 3), jnp.float32)
         state = create_train_state(model, key, (x,), lr=1e-4, grad_clip=5.0)
         # the optax chain's first transform is a clip
         assert state.tx is not None
+
+
+class TestCheckpointIO:
+    def test_atomic_save_roundtrip(self, key, tmp_path):
+        """Saves go through tmp+rename (no torn reads for concurrent eval
+        snapshots) and the pipelined host fetch preserves values exactly."""
+        import numpy as np
+
+        from iclr_17_compression_tpu.train.checkpoint import (
+            load_train_state,
+            save_train_state,
+        )
+
+        model = Balle17Compressor(out_channel_n=8)
+        x = jax.random.uniform(key, (1, 32, 32, 3), jnp.float32)
+        state = create_train_state(model, key, (x,), lr=1e-4)
+        path = save_train_state(state, str(tmp_path), "latest", epoch=3, loss=0.5)
+        assert path.endswith("latest.ckpt")
+        assert not list(tmp_path.glob("*.tmp"))  # rename completed
+        restored, meta = load_train_state(state, path)
+        assert meta["epoch"] == 3
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 class TestSchedules:

@@ -195,21 +195,36 @@ def _shift_pair(a, rng):
     return np.clip(b * rng.uniform(0.92, 1.08) + rng.uniform(-0.03, 0.03), 0, 1)
 
 
-def make_stereo_eval(root):
+def make_stereo_eval(root, size=(320, 384)):
     """24 held-out stereo pairs for the DSC eval protocol; content drawn only
-    from the eval24 set (never seen by training), floored to ×32."""
+    from the eval24 set (never seen by training).
+
+    All pairs share ONE fixed shape — the reference eval protocol also
+    fixes its crop (CenterCrop 320×1224, reference
+    NewTests/test_new_model_reconAndSimilarity.py:69), and a single shape
+    means a single XLA compile for the whole eval on any backend."""
     rng = np.random.default_rng(99)
+    th, tw = size
     out_l = os.path.join(root, "stereo_eval", "left")
     out_r = os.path.join(root, "stereo_eval", "right")
     os.makedirs(out_l, exist_ok=True)
     os.makedirs(out_r, exist_ok=True)
     for k, a8 in enumerate(_eval_images(np.random.default_rng(24))):
-        h, w = (a8.shape[0] // 32) * 32, (a8.shape[1] // 32) * 32
-        a = a8[:h, :w].astype(np.float32) / 255.0
+        a = a8.astype(np.float32) / 255.0
+        h, w = a.shape[:2]
+        if h < th or w < tw:  # joint upscale so the fixed crop fits
+            s = max(th / h, tw / w)
+            nh, nw = max(th, int(round(h * s))), max(tw, int(round(w * s)))
+            a = np.asarray(
+                Image.fromarray(a8).resize((nw, nh), Image.BILINEAR), np.float32
+            ) / 255.0
+            h, w = nh, nw
+        y0, x0 = (h - th) // 2, (w - tw) // 2
+        a = a[y0:y0 + th, x0:x0 + tw]
         b = _shift_pair(a, rng)
         Image.fromarray((a * 255).astype(np.uint8)).save(f"{out_l}/{k:04d}.png")
         Image.fromarray((b * 255).astype(np.uint8)).save(f"{out_r}/{k:04d}.png")
-    print("stereo_eval:", len(os.listdir(out_l)), "pairs")
+    print("stereo_eval:", len(os.listdir(out_l)), "pairs", size)
 
 
 def make_stereo(root):

@@ -31,7 +31,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-EVAL_DIR = os.environ.get("ICLR17C_RD_EVAL_DIR", "/tmp/rd_data/eval")
+def _default_eval_dir():
+    """Prefer the 24-image protocol set (round-4: matches the reference
+    testKodak shape — 24 per-image rows, reference train.py:157-198); fall
+    back to the 3-image round-3 set."""
+    for d in ("/tmp/rd_data/eval24", "/tmp/rd_data/eval"):
+        if os.path.isdir(d):
+            return d
+    return "/tmp/rd_data/eval24"
+
+
+EVAL_DIR = os.environ.get("ICLR17C_RD_EVAL_DIR") or _default_eval_dir()
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "results")
 
 
@@ -68,6 +78,7 @@ def main(ckpt_dirs):
         params = {"params": load_params(template["params"], ck)}
         est = eval_kodak(model, params, images, use_rans=False)
         res = eval_kodak(model, params, images, use_rans=True)
+        files = sorted(os.listdir(EVAL_DIR))
         pt = {
             "name": name,
             "ckpt": os.path.basename(ck),
@@ -76,9 +87,14 @@ def main(ckpt_dirs):
             "psnr": res["psnr"],
             "ms_ssim": res["ms_ssim"],
             "ms_ssim_db": res["ms_ssim_db"],
+            # per-image rows, reference testKodak protocol shape
+            # (train.py:157-198 prints every image before the mean)
+            "per_image": [
+                dict(row, image=f) for f, row in zip(files, res["per_image"])
+            ],
         }
         ours.append(pt)
-        print(json.dumps(pt), flush=True)
+        print(json.dumps({k: v for k, v in pt.items() if k != "per_image"}), flush=True)
 
     jpeg = jpeg_anchor_curve(images, qualities=range(5, 101, 5))
 
