@@ -39,14 +39,15 @@ import numpy as np
 
 MAGIC = b"ICZ1"
 KIND_BALLE17 = 1
-KIND_DSC = 2
-# 3 was the raster-scan joint-AR layout; the symbol order changed to
-# wavefront (models/cheng2020.py) which silently re-interprets old streams,
-# so the kind byte was retired — old files now fail loudly as "unknown kind"
-# instead of decoding into garbage.
+# Retired kind bytes (old layouts would silently mis-decode, so their ids
+# fail loudly in _read_header instead of being reused):
+#   2, 4 — DSC/composite with uint32 freq tables (now uint16)
+#   3    — raster-scan joint-AR symbol order (now wavefront)
 KIND_JOINT = 6  # joint-AR, wavefront symbol order
-KIND_DSC_COMPOSITE = 4  # base DSC code + rate-regression residual code
+KIND_DSC = 7  # DSC coarse code, uint16 freq tables
+KIND_DSC_COMPOSITE = 8  # base DSC code + rate-regression residual code
 KIND_HYPERPRIOR = 5  # scale hyperprior: factorized z + Laplace(0, sigma) y
+_RETIRED_KINDS = {2, 3, 4}
 
 
 # ---------------------------------------------------------------------------
@@ -188,10 +189,11 @@ def _read_header(r: _Reader) -> Tuple[int, str, int, int, int]:
     if magic != MAGIC:
         raise ValueError("not an ICZ1 bitstream")
     kind, nlen = r.take("BB")
-    if kind == 3:
+    if kind in _RETIRED_KINDS:
         raise ValueError(
-            "kind=3 is the retired raster-scan joint-AR layout; this build "
-            "writes wavefront-order streams (kind=6) — re-encode the file"
+            f"kind={kind} is a retired container layout (raster-scan joint "
+            "order / uint32 DSC tables); this build writes kinds "
+            f"{KIND_JOINT}/{KIND_DSC}/{KIND_DSC_COMPOSITE} — re-encode the file"
         )
     name = r.data[r.off: r.off + nlen].decode()
     r.off += nlen
@@ -285,7 +287,11 @@ def serialize_dsc_code(syms: np.ndarray, step: float, code_clip) -> bytes:
     stream = encode_latent(codec, syms)
     ch, cw, cc = syms.shape
     payload = struct.pack("<HHHfhH", ch, cw, cc, float(step), offset, nsym)
-    payload += codec.freqs.astype(np.uint32).tobytes()
+    # scale_bits=14 → every frequency ≤ 2^14 fits uint16; at single-image
+    # DSC scale the per-channel tables DOMINATE the container (measured:
+    # 544 B tables vs ~290 B stream on a 320×384 image), so halving table
+    # bytes cuts ~30% off the real bpp.
+    payload += codec.freqs.astype(np.uint16).tobytes()
     return payload + _pack_bytes(stream)
 
 
@@ -308,11 +314,11 @@ def _decode_dsc_code(r: "_Reader") -> np.ndarray:
 
     ch, cw, cc, step, offset, nsym = r.take("HHHfhH")
     freqs = np.frombuffer(
-        r.data[r.off: r.off + 4 * cc * nsym], np.uint32
+        r.data[r.off: r.off + 2 * cc * nsym], np.uint16
     ).reshape(cc, nsym)
-    r.off += 4 * cc * nsym
+    r.off += 2 * cc * nsym
     stream = r.take_bytes()
-    codec = RansCodec(freqs.copy(), offset=offset)
+    codec = RansCodec(freqs.astype(np.uint32), offset=offset)
     syms = decode_latent(codec, stream, (ch, cw, cc))
     return (syms.astype(np.float32) * step)[None]
 

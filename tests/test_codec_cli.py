@@ -26,8 +26,10 @@ from iclr_17_compression_tpu.train.checkpoint import save_params
 
 
 def _init(kind, model, key):
+    from iclr_17_compression_tpu.coding.codec_cli import KIND_DSC
+
     dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    if kind == 2:  # DSC
+    if kind == KIND_DSC:
         return model.init({"params": key, "quant": key}, dummy, dummy, train=False)
     return model.init({"params": key, "quant": key}, dummy, train=False)
 
