@@ -51,10 +51,17 @@ logger = logging.getLogger("iclr17c")
 def _injectable_optimizer(base_lr: float, grad_clip: float) -> optax.GradientTransformation:
     """clip + Adam with the LR exposed as an opt-state hyperparameter, so a
     host-side plateau scheduler can change it BETWEEN jitted steps (a plain
-    schedule closure would be baked in as a trace-time constant)."""
+    schedule closure would be baked in as a trace-time constant).
+
+    The LR is committed to jnp.float32 at init so the FIRST set_lr call
+    doesn't change the opt-state tree signature (a Python-float hyperparam
+    leaf becomes an array on replacement → full train-step retrace; cost a
+    7-minute remote recompile mid-run in round 4)."""
     return optax.chain(
         optax.clip(grad_clip),
-        optax.inject_hyperparams(optax.adam)(learning_rate=base_lr),
+        optax.inject_hyperparams(optax.adam)(
+            learning_rate=jnp.asarray(base_lr, jnp.float32)
+        ),
     )
 
 
