@@ -30,6 +30,7 @@ os.environ.setdefault("ICLR17C_PRECISION", "default")  # bf16 MXU inference mode
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # bf16 peak of one v5e chip; override for other hardware.
 PEAK_FLOPS = float(os.environ.get("ICLR17C_PEAK_TFLOPS", "394")) * 1e12
@@ -274,12 +275,17 @@ def bench_dsc_serving_sweep() -> dict:
         int(b)
         for b in os.environ.get("ICLR17C_DSC_SWEEP", "1,4,16,64").split(",")
     ]
+    import gc
+
     sweep = {}
     for b in batches:
         try:
             sweep[str(b)] = bench_dsc_serving(b)
         except Exception as e:  # e.g. RESOURCE_EXHAUSTED at large batch
             sweep[str(b)] = {"error": type(e).__name__, "msg": str(e)[:200]}
+        gc.collect()
+        jax.clear_caches()  # each batch's executables pin params in HBM
+        gc.collect()
     best = {}
     for path in ("dsc_encode", "dsc_decode"):
         ok = [v[path] for v in sweep.values() if path in v]
@@ -304,18 +310,29 @@ def bench_joint_host_codec() -> dict:
     # Realism fix (round-3 verdict): fresh-init latents are ~N(0, σ≪1), so
     # nearly every symbol rounds to 0 and the stream was 14 bytes/image —
     # the rANS/scale-table cost was never exercised. Scale g_a's output
-    # layer so y spans ~±30 like a trained model's latents; mu/sigma GEMM
-    # cost is unchanged, the coder now codes a non-degenerate distribution.
+    # layer so y has std ≈ 2.5 (symbols mostly within ±10, a few bits each —
+    # the regime of a trained model's latents; ×10 std was measured to
+    # produce a near-raw 12.9 bit/symbol stream, unrealistic the other way).
     from iclr_17_compression_tpu.models.cheng2020 import ChengAnalysis
 
     y0 = np.asarray(
         ChengAnalysis(model.n).apply({"params": params["params"]["g_a"]}, img)
     )
-    gain = jnp.float32(10.0 / max(float(np.std(y0)), 1e-6))
+    gain = jnp.float32(2.5 / max(float(np.std(y0)), 1e-6))
     out6 = params["params"]["g_a"]["conv6"]
     params["params"]["g_a"]["conv6"] = jax.tree_util.tree_map(
         lambda t: t * gain, out6
     )
+    # ... and make sigma match the symbol spread: near-init sigma is the
+    # scale_bound (0.11), which models the ±10 symbols as N(0, 0.11) — a
+    # cross-entropy blowout (measured 11.6 bits/symbol). Bias the sigma
+    # half of the entropy-parameters output to ≈ the latent std, like a
+    # trained model's calibrated scales.
+    ep2 = dict(params["params"]["entropy_parameters"]["conv2"])
+    b2 = np.asarray(ep2["bias"]).copy()
+    b2[: model.n] += 2.5
+    ep2["bias"] = jnp.asarray(b2)
+    params["params"]["entropy_parameters"]["conv2"] = ep2
 
     comp = compress(model, params, img)  # warm transforms + codec cache
     decompress(model, params, comp)
@@ -376,15 +393,58 @@ def main():
 
     enable_compilation_cache()
 
-    primary = bench_balle17(jnp.bfloat16, io_block=4, scan=4)
-    extra = {"device": jax.devices()[0].device_kind}
+    # Each section runs in its OWN subprocess: the remote TPU backend does
+    # not reclaim HBM on jax.clear_caches(), so in-process section
+    # sequencing accumulated ~10 GB of dead executables/constants and OOM'd
+    # (twice, at the same spot). Process exit is the only reliable release;
+    # compiles reload from the persistent disk cache.
+    sections = {
+        "headline": lambda: bench_balle17(jnp.bfloat16, io_block=4, scan=4),
+        "balle17_bf16_unblocked": lambda: bench_balle17(jnp.bfloat16),
+        "balle17_fp32": lambda: bench_balle17(jnp.float32),
+        "dsc_0031bpp_trainfwd": bench_dsc,
+        "dsc_serving": bench_dsc_serving_sweep,
+        "joint_ar": bench_joint,
+        "joint_host_codec": bench_joint_host_codec,
+    }
+    sect = os.environ.get("ICLR17C_BENCH_SECTION", "")
+    if sect:
+        res = sections[sect]()
+        res["device"] = jax.devices()[0].device_kind
+        print("\n" + json.dumps({"section": sect, "result": res}))
+        return
+
+    def run_section(name: str) -> dict:
+        import subprocess
+        import sys
+
+        env = dict(os.environ, ICLR17C_BENCH_SECTION=name)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        for line in reversed(p.stdout.strip().splitlines()):
+            try:
+                d = json.loads(line)
+                if d.get("section") == name:
+                    return d["result"]
+            except (json.JSONDecodeError, TypeError):
+                continue
+        return {"error": f"section failed rc={p.returncode}",
+                "stderr": p.stderr[-300:]}
+
+    # the orchestrating parent must NOT initialize the TPU client — the
+    # remote chip admits one process at a time and a parent-held client
+    # would deadlock every section subprocess
+    primary = run_section("headline")
+    extra = {"device": primary.pop("device", None)}
     if os.environ.get("ICLR17C_BENCH_FULL", "1") != "0":
-        extra["balle17_bf16_unblocked"] = bench_balle17(jnp.bfloat16)
-        extra["balle17_fp32"] = bench_balle17(jnp.float32)
-        extra["dsc_0031bpp_trainfwd"] = bench_dsc()
-        extra.update(bench_dsc_serving_sweep())
-        extra["joint_ar"] = bench_joint()
-        extra["joint_host_codec"] = bench_joint_host_codec()
+        extra["balle17_bf16_unblocked"] = run_section("balle17_bf16_unblocked")
+        extra["balle17_fp32"] = run_section("balle17_fp32")
+        extra["dsc_0031bpp_trainfwd"] = run_section("dsc_0031bpp_trainfwd")
+        extra.update(run_section("dsc_serving"))
+        extra["joint_ar"] = run_section("joint_ar")
+        extra["joint_host_codec"] = run_section("joint_host_codec")
     extra["balle17_bf16"] = {k: v for k, v in primary.items() if k != "mpix_s"}
 
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")

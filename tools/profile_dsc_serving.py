@@ -62,10 +62,19 @@ def stack_prefix_apply(specs, params, x, k):
 
 
 def profile_stack(tag, specs, params, x):
-    """Marginal ms per layer of one stack at input x."""
+    """Marginal ms per layer of one stack at input x.
+
+    ICLR17C_DSC_STAGES=coarse → one timing per stack (5 remote compiles
+    total instead of ~40; each tunnel compile is 30-90 s). Fine-grained
+    per-layer rows for a single module via ICLR17C_DSC_FINE=<tag>."""
+    coarse = os.environ.get("ICLR17C_DSC_STAGES", "fine") == "coarse"
+    fine_only = os.environ.get("ICLR17C_DSC_FINE", "")
+    ks = range(1, len(specs) + 1)
+    if coarse and tag != fine_only:
+        ks = [len(specs)]
     rows = []
     prev = None
-    for k in range(1, len(specs) + 1):
+    for k in ks:
         fn = jax.jit(
             lambda v, k=k: jnp.sum(
                 stack_prefix_apply(specs, params, v, k)[::3, ::5, ::7].astype(jnp.float32)
