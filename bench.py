@@ -400,6 +400,11 @@ def main():
     # compiles reload from the persistent disk cache.
     sections = {
         "headline": lambda: bench_balle17(jnp.bfloat16, io_block=4, scan=4),
+        # decomposition runs (on demand via ICLR17C_BENCH_SECTION, not part
+        # of the default suite): attribute the headline gain between the
+        # edge-conv blocking and the dispatch-amortizing scan
+        "headline_io4_only": lambda: bench_balle17(jnp.bfloat16, io_block=4),
+        "headline_scan4_only": lambda: bench_balle17(jnp.bfloat16, scan=4),
         "balle17_bf16_unblocked": lambda: bench_balle17(jnp.bfloat16),
         "balle17_fp32": lambda: bench_balle17(jnp.float32),
         "dsc_0031bpp_trainfwd": bench_dsc,
