@@ -335,13 +335,13 @@ def bench_joint_host_codec() -> dict:
     params["params"]["entropy_parameters"]["conv2"] = ep2
 
     comp = compress(model, params, img)  # warm transforms + codec cache
-    decompress(model, params, comp)
+    decompress(model, params, comp, quantize_fetch=True)
     best_c = best_d = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         comp = compress(model, params, img)
         t1 = time.perf_counter()
-        decompress(model, params, comp)
+        decompress(model, params, comp, quantize_fetch=True)
         t2 = time.perf_counter()
         best_c = min(best_c, t1 - t0)
         best_d = min(best_d, t2 - t1)
@@ -451,6 +451,11 @@ def main():
         extra["joint_ar"] = run_section("joint_ar")
         extra["joint_host_codec"] = run_section("joint_host_codec")
     extra["balle17_bf16"] = {k: v for k, v in primary.items() if k != "mpix_s"}
+
+    if "mpix_s" not in primary:
+        # headline section died — still emit a parseable line with the error
+        extra["headline_error"] = primary
+        primary = {"mpix_s": 0.0, "batch": 128}
 
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     vs = 1.0

@@ -424,9 +424,19 @@ def compress(model: JointAutoregressive, params, image, return_y_hat: bool = Fal
 
 
 def decompress(
-    model: JointAutoregressive, params, comp: CompressedImage, return_y_hat: bool = False
+    model: JointAutoregressive,
+    params,
+    comp: CompressedImage,
+    return_y_hat: bool = False,
+    quantize_fetch: bool = False,
 ):
-    """Decode bitstreams back to the reconstructed image (1, H, W, 3)."""
+    """Decode bitstreams back to the reconstructed image (1, H, W, 3).
+
+    ``quantize_fetch``: round to the uint8 display grid ON DEVICE and fetch
+    1 byte/channel (returns float array scaled back to [0,1]). A decoded
+    image is uint8 in practice, and the fp32 fetch of a Kodak recon through
+    the remote device tunnel costs more than the synthesis itself
+    (BASELINE.md round-4 breakdown) — this is the serving configuration."""
     from ..coding.api import StreamingDecoder, decode_latent
     from ..coding.gaussian import default_gaussian_codec, default_scale_table, scale_indices
 
@@ -456,10 +466,16 @@ def decompress(
             y_hat_pad[ii + pad, jj + pad] = s + mu
 
     y_hat = y_hat_pad[pad : pad + h, pad : pad + w]
-    recon = np.asarray(
-        _apply_submodule(model, params, "g_s", ChengSynthesis(n), jnp.asarray(y_hat[None]))
+    dev = _apply_submodule(
+        model, params, "g_s", ChengSynthesis(n), jnp.asarray(y_hat[None])
     )
-    recon = np.clip(recon, 0.0, 1.0)
+    if quantize_fetch:
+        u8 = np.asarray(
+            jnp.round(jnp.clip(dev, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        )
+        recon = u8.astype(np.float32) / 255.0
+    else:
+        recon = np.clip(np.asarray(dev), 0.0, 1.0)
     if return_y_hat:
         return recon, y_hat.copy()
     return recon

@@ -124,3 +124,17 @@ def test_cli_encode_decode_commands(key, rng, tmp_path, capsys):
     assert rc == 0
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert {"bytes", "bpp", "psnr"} <= set(report)
+
+
+def test_retired_kind_bytes_fail_loudly():
+    """Streams written by retired container layouts (raster-scan joint order
+    kind=3; uint32-table DSC kinds 2/4) must be REJECTED, not silently
+    mis-decoded into garbage (round-3 advisor finding)."""
+    import pytest
+
+    from iclr_17_compression_tpu.coding.codec_cli import MAGIC, _read_header, _Reader
+
+    for kind in (2, 3, 4):
+        data = MAGIC + bytes([kind, 4]) + b"name" + b"\x00" * 12
+        with pytest.raises(ValueError, match="retired"):
+            _read_header(_Reader(data))
