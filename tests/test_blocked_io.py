@@ -73,3 +73,43 @@ def test_balle17_blocked_pipeline_parity(key, rng):
     )
     np.testing.assert_allclose(float(got["mse"]), float(ref["mse"]), rtol=1e-5)
     np.testing.assert_allclose(float(got["bpp"]), float(ref["bpp"]), rtol=1e-5)
+
+
+def test_blocked_pipeline_trains(key, rng):
+    """Gradients flow through the trace-time weight reinterpretation: one
+    train step on the blocked graph updates conv1/deconv3's CANONICAL
+    (9,9,·,·) parameters, and the update equals the canonical graph's
+    (same data, same rng) — blocking is loss-invariant."""
+    import jax
+
+    from iclr_17_compression_tpu.train.state import (
+        create_train_state,
+        make_balle17_train_step,
+    )
+    from iclr_17_compression_tpu.models import Balle17Compressor
+
+    x = rng.uniform(0.0, 1.0, (2, 64, 64, 3)).astype(np.float32)
+    xb = jnp.asarray(space_to_depth(x, 4))
+
+    ref_model = Balle17Compressor(out_channel_n=8)
+    ref_state = create_train_state(ref_model, key, (jnp.asarray(x),), lr=1e-3)
+    ref_state, ref_metrics = jax.jit(make_balle17_train_step(1024.0))(
+        ref_state, jnp.asarray(x), key
+    )
+
+    blk_model = Balle17Compressor(out_channel_n=8, io_block=4)
+    blk_state = create_train_state(blk_model, key, (xb,), lr=1e-3)
+    blk_state, blk_metrics = jax.jit(make_balle17_train_step(1024.0))(
+        blk_state, xb, key
+    )
+
+    np.testing.assert_allclose(
+        float(blk_metrics["rd_loss"]), float(ref_metrics["rd_loss"]), rtol=1e-5
+    )
+    w_ref = ref_state.params["encoder"]["conv1"]["weight"]
+    w_blk = blk_state.params["encoder"]["conv1"]["weight"]
+    assert w_blk.shape == (9, 9, 3, 8)
+    np.testing.assert_allclose(np.asarray(w_blk), np.asarray(w_ref), rtol=1e-4, atol=1e-6)
+    w_ref3 = ref_state.params["decoder"]["deconv3"]["weight"]
+    w_blk3 = blk_state.params["decoder"]["deconv3"]["weight"]
+    np.testing.assert_allclose(np.asarray(w_blk3), np.asarray(w_ref3), rtol=1e-4, atol=1e-6)
