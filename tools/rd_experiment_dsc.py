@@ -11,6 +11,9 @@ NewTests/test_new_model_reconAndSimilarity.py:98-159 protocol; curves at
   code-only     : same code, SI zeroed (the cat ablation,
                   reference NewTests/testAblationNetwork.py:112-114) —
                   what the code alone buys at the SAME rate
+  SI-only       : model(im2, im2) at 0 bits for X (reference
+                  NewTests/testAblationNetwork.py:112-114 SI-only dump) —
+                  what the decoder camera alone buys
   JPEG anchor   : PIL 4:2:0 sweep on the identical target images
 
 Rates are REAL rANS container payload bytes (coding.codec_cli
@@ -96,7 +99,15 @@ def main(argv):
             out = co_model.apply(params, im1, im2, train=False)
             return out["recon"], jnp.mean((out["recon"] - im1) ** 2)
 
+        # SI-only: encode the SI image itself through the X path — the
+        # reconstruction the receiver gets from its own camera, zero bits
+        @jax.jit
+        def si_forward(im1, im2):
+            out = model.apply(params, im2, im2, train=False)
+            return out["recon"], jnp.mean((out["recon"] - im1) ** 2)
+
         co_psnr = co_ms = co_msdb = 0.0
+        si_psnr = si_ms = si_msdb = 0.0
         for a, b in pairs:
             im1, im2 = jnp.asarray(a)[None], jnp.asarray(b)[None]
             recon, mse = co_forward(im1, im2)
@@ -104,6 +115,11 @@ def main(argv):
             ms = float(ms_ssim(recon, im1, win_size=cfg.msssim_win))
             co_ms += ms
             co_msdb += float(ms_ssim_db(jnp.float32(ms)))
+            srecon, smse = si_forward(im1, im2)
+            si_psnr += 10.0 * np.log10(1.0 / max(float(smse), 1e-12))
+            sms = float(ms_ssim(srecon, im1, win_size=cfg.msssim_win))
+            si_ms += sms
+            si_msdb += float(ms_ssim_db(jnp.float32(sms)))
         n = len(pairs)
 
         pt = {
@@ -120,6 +136,11 @@ def main(argv):
                 "psnr": co_psnr / n,
                 "ms_ssim": co_ms / n,
                 "ms_ssim_db": co_msdb / n,
+            },
+            "si_only_0bpp": {
+                "psnr": si_psnr / n,
+                "ms_ssim": si_ms / n,
+                "ms_ssim_db": si_msdb / n,
             },
             "per_image": res["per_image"],
         }
@@ -152,6 +173,7 @@ def main(argv):
             "JPEG (4:2:0)": [(p["bpp"], p["psnr"]) for p in jpeg],
             "DSC SI-assisted (rANS)": si_pts,
             "DSC code-only (same rate)": co_pts,
+            "SI-only (0 bpp)": [(0.0, p["si_only_0bpp"]["psnr"]) for p in points],
         },
         os.path.join(OUT_DIR, "rd_plot_dsc_psnr.png"),
         ylabel="PSNR (dB)",
@@ -162,6 +184,7 @@ def main(argv):
             "JPEG (4:2:0)": [(p["bpp"], p["ms_ssim"]) for p in jpeg],
             "DSC SI-assisted (rANS)": [(p["bpp_rans"], p["si_assisted"]["ms_ssim"]) for p in points],
             "DSC code-only (same rate)": [(p["bpp_rans"], p["code_only"]["ms_ssim"]) for p in points],
+            "SI-only (0 bpp)": [(0.0, p["si_only_0bpp"]["ms_ssim"]) for p in points],
         },
         os.path.join(OUT_DIR, "rd_plot_dsc_msssim.png"),
         ylabel="MS-SSIM",
