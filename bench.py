@@ -424,10 +424,15 @@ def main():
         import sys
 
         env = dict(os.environ, ICLR17C_BENCH_SECTION=name)
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            capture_output=True, text=True, env=env, timeout=3600,
-        )
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, env=env, timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            # one wedged section (stuck tunnel compile) must not lose the
+            # whole run's JSON line
+            return {"error": f"section {name} timed out after 3600s"}
         for line in reversed(p.stdout.strip().splitlines()):
             try:
                 d = json.loads(line)
@@ -447,7 +452,11 @@ def main():
         extra["balle17_bf16_unblocked"] = run_section("balle17_bf16_unblocked")
         extra["balle17_fp32"] = run_section("balle17_fp32")
         extra["dsc_0031bpp_trainfwd"] = run_section("dsc_0031bpp_trainfwd")
-        extra.update(run_section("dsc_serving"))
+        serving = run_section("dsc_serving")
+        if "error" in serving:  # keep failure attributed to its section
+            extra["dsc_serving"] = serving
+        else:
+            extra.update(serving)
         extra["joint_ar"] = run_section("joint_ar")
         extra["joint_host_codec"] = run_section("joint_host_codec")
     extra["balle17_bf16"] = {k: v for k, v in primary.items() if k != "mpix_s"}

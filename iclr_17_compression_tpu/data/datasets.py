@@ -130,9 +130,13 @@ def _fit_for_crop(ch: int, cw: int, *imgs: np.ndarray):
 
     Batched training requires uniform item shapes (np.stack in
     _assemble_batch); shrinking the crop per item — the pre-round-4 behavior
-    — crashed any batch mixing undersized and full-size images. Identical
-    scaling of every view preserves cross-image row correspondence
-    (disparity scales with it). Returns (h, w, *scaled_imgs)."""
+    — crashed any batch mixing undersized and full-size images. When a
+    resize is needed, EVERY view is mapped to one common target size: for
+    equal-size views (all in-tree stereo datasets) that is identical
+    scaling, which preserves row correspondence with disparity scaled; for
+    views of unequal sizes it aligns them onto a shared grid (same-extent
+    assumption — joint cropping is only meaningful under it anyway).
+    Returns (h, w, *scaled_imgs)."""
     h = min(im.shape[0] for im in imgs)
     w = min(im.shape[1] for im in imgs)
     if h >= ch and w >= cw:

@@ -114,9 +114,19 @@ def ms_ssim(
     mssim = jnp.stack(mssim)
     mcs = jnp.stack(mcs)
     # cs/ssim can dip negative early in training; negative**fractional = NaN.
-    # Clamp like pytorch_msssim's relu(cs) (the reference's DSC loss path).
-    pow_cs = jnp.maximum(mcs, 0.0) ** weights
-    pow_ssim = jnp.maximum(mssim, 0.0) ** weights
+    # Clamp like pytorch_msssim's relu(cs) (the reference's DSC loss path) —
+    # but grad-safely: d/dx[max(x,0)**w] at x<=0 is inf·0 = NaN under
+    # autodiff (verified: jax.grad of maximum(x,0)**0.0448 at -0.1 → nan),
+    # which would NaN the whole model on the first anti-correlated batch.
+    # The where-in-where pattern keeps the forward value identical (0 at
+    # x<=0) and makes the clamped branch's gradient exactly 0.
+    def _safe_pow(x, w):
+        pos = x > 0.0
+        safe = jnp.where(pos, x, 1.0)
+        return jnp.where(pos, safe ** w, 0.0)
+
+    pow_cs = _safe_pow(mcs, weights)
+    pow_ssim = _safe_pow(mssim, weights)
     return jnp.prod(pow_cs[:-1]) * pow_ssim[-1]
 
 

@@ -273,6 +273,7 @@ def train_dsc(cfg: TrainConfig, name: str, pretrain: str = "", resume: str = "")
 
     best_loss = float("inf")
     best_val = float("inf")
+    best_state, best_meta = None, None
     mlog = MetricsLogger(save_dir, tensorboard=cfg.tensorboard)
     prof = ProfileWindow(cfg.profile_dir, cfg.profile_start_step, cfg.profile_num_steps)
     global_step = int(state.step)
@@ -303,8 +304,14 @@ def train_dsc(cfg: TrainConfig, name: str, pretrain: str = "", resume: str = "")
             state = set_lr(state, cur_lr)
         if epoch_loss < best_loss:
             best_loss = epoch_loss
-            if epoch % cfg.save_epoch_freq == 0:
-                save_train_state(state, save_dir, "best_train", epoch, epoch_loss)
+            # keep a reference to the best state (device arrays — no copy);
+            # the SAVE is gated to save_epoch_freq, but gating the best-loss
+            # update itself would let an off-cycle improvement permanently
+            # swallow the best_train checkpoint (round-4 review finding)
+            best_state, best_meta = state, (epoch, epoch_loss)
+        if best_meta is not None and epoch % cfg.save_epoch_freq == 0:
+            save_train_state(best_state, save_dir, "best_train", *best_meta)
+            best_state, best_meta = None, None
         if val_set is not None:
             v_sum, v_n = 0.0, 0
             for v1, v2 in batch_iterator(
@@ -332,6 +339,8 @@ def train_dsc(cfg: TrainConfig, name: str, pretrain: str = "", resume: str = "")
             )
         logger.info("epoch %d done: loss=%.5f lr=%.2e", epoch, epoch_loss, cur_lr)
         mlog.log(global_step, {"epoch_loss": epoch_loss, "lr": cur_lr}, prefix="epoch/")
+    if best_meta is not None:  # flush an off-cycle pending best at exit
+        save_train_state(best_state, save_dir, "best_train", *best_meta)
     prof.close()
     mlog.close()
     return state

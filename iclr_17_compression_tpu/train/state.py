@@ -59,6 +59,13 @@ def create_train_state(
 # ---------------------------------------------------------------------------
 
 def make_balle17_train_step(train_lambda: float = 8192.0, distortion: str = "mse"):
+    if distortion not in ("mse", "msssim"):
+        # a DSC loss string ('l1') or typo ('ms_ssim') must not silently
+        # train the whole run as MSE
+        raise ValueError(
+            f"balle17 distortion must be 'mse' or 'msssim', got {distortion!r}"
+        )
+
     def train_step(state: TrainState, batch: jax.Array, rng: jax.Array):
         def loss_fn(params):
             out = state.apply_fn(

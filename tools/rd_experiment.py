@@ -78,7 +78,12 @@ def main(ckpt_dirs):
         params = {"params": load_params(template["params"], ck)}
         est = eval_kodak(model, params, images, use_rans=False)
         res = eval_kodak(model, params, images, use_rans=True)
-        files = sorted(os.listdir(EVAL_DIR))
+        # label rows with the SAME file list the dataset iterates (recursive
+        # walk + image-extension filter) — a raw listdir would misalign every
+        # row after any stray non-image file
+        from iclr_17_compression_tpu.data.datasets import _list_images
+
+        files = [os.path.basename(p) for p in _list_images(EVAL_DIR)]
         pt = {
             "name": name,
             "ckpt": os.path.basename(ck),

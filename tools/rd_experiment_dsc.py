@@ -74,7 +74,9 @@ def main(argv):
         ckpt = argv[i]
         i += 1
         preset = "temp_0031bpp"
-        if i < len(argv) and not argv[i].endswith(".ckpt"):
+        # an arg is a preset iff it names one — paths (with or without a
+        # .ckpt suffix) are never swallowed as presets
+        if i < len(argv) and argv[i] in DSC_PRESETS and not os.path.exists(argv[i]):
             preset = argv[i]
             i += 1
         runs.append((ckpt, preset))
