@@ -188,6 +188,30 @@ class TestDSC:
         code = np.asarray(out["code"])
         np.testing.assert_allclose(code[..., 0], 0.0)
 
+    def test_016bpp_si_ablation_preset(self, key):
+        """temp_016bpp_si_ablation = reference-HEAD state of temp_016bpp
+        (zeros concatenated for z2, temp_016bpp.py:129): same params tree as
+        the base preset, and the SI image must not influence the recon."""
+        base = DSC_PRESETS["temp_016bpp"]
+        abl = DSC_PRESETS["temp_016bpp_si_ablation"]
+        assert abl.si_mode == "zero_si" and abl.code_channels == base.code_channels
+
+        im1 = _img(key, (1, 64, 64, 3))
+        im2 = _img(jax.random.fold_in(key, 1), (1, 64, 64, 3))
+        model = DSCStereoModel(abl)
+        params = model.init({"params": key, "quant": key}, im1, im2, train=False)
+        # identical param tree → reference-HEAD checkpoints import without
+        # any caller-side si_mode override
+        base_params = DSCStereoModel(base).init(
+            {"params": key, "quant": key}, im1, im2, train=False
+        )
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+            base_params
+        )
+        out_a = model.apply(params, im1, im2, train=False)
+        out_b = model.apply(params, im1, jnp.zeros_like(im2), train=False)
+        np.testing.assert_array_equal(np.asarray(out_a["recon"]), np.asarray(out_b["recon"]))
+
     def test_shared_vs_separate_encoder_param_count(self, key):
         im1 = jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32)
         shared = DSCStereoModel(DSC_PRESETS["temp_0031bpp"])
