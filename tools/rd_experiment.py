@@ -118,20 +118,32 @@ def main(ckpt_dirs):
     with open(os.path.join(OUT_DIR, "rd_points.json"), "w") as f:
         json.dump(payload, f, indent=2)
 
+    # MS-SSIM-distortion-trained runs (dir convention msssim<lambda>) get
+    # their own series — they trade PSNR for MS-SSIM by construction, so
+    # folding them into the MSE-trained curve would kink it.
+    mse_pts = [p for p in ours if not p["name"].startswith("msssim")]
+    ms_pts = [p for p in ours if p["name"].startswith("msssim")]
+
+    def _series(metric):
+        out = {"JPEG (4:2:0)": [(p["bpp"], p[metric]) for p in jpeg]}
+        if mse_pts:
+            out["ours Ballé-17 MSE-opt (rANS)"] = [
+                (p["bpp_rans"], p[metric]) for p in mse_pts
+            ]
+        if ms_pts:
+            out["ours Ballé-17 MS-SSIM-opt (rANS)"] = [
+                (p["bpp_rans"], p[metric]) for p in ms_pts
+            ]
+        return out
+
     plot_rd(
-        {
-            "JPEG (4:2:0)": [(p["bpp"], p["psnr"]) for p in jpeg],
-            "ours Ballé-17 (rANS)": [(p["bpp_rans"], p["psnr"]) for p in ours],
-        },
+        _series("psnr"),
         os.path.join(OUT_DIR, "rd_plot_psnr.png"),
         ylabel="PSNR (dB)",
         title="Ballé-17 (TPU framework) vs JPEG — offline eval set",
     )
     plot_rd(
-        {
-            "JPEG (4:2:0)": [(p["bpp"], p["ms_ssim"]) for p in jpeg],
-            "ours Ballé-17 (rANS)": [(p["bpp_rans"], p["ms_ssim"]) for p in ours],
-        },
+        _series("ms_ssim"),
         os.path.join(OUT_DIR, "rd_plot_msssim.png"),
         ylabel="MS-SSIM",
         title="Ballé-17 (TPU framework) vs JPEG — offline eval set",
