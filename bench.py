@@ -408,6 +408,7 @@ def main():
         "balle17_bf16_unblocked": lambda: bench_balle17(jnp.bfloat16),
         "balle17_fp32": lambda: bench_balle17(jnp.float32),
         "dsc_0031bpp_trainfwd": bench_dsc,
+        "dsc_serving_b16": lambda: bench_dsc_serving(16),
         "dsc_serving": bench_dsc_serving_sweep,
         "joint_ar": bench_joint,
         "joint_host_codec": bench_joint_host_codec,
@@ -416,10 +417,23 @@ def main():
     if sect:
         res = sections[sect]()
         res["device"] = jax.devices()[0].device_kind
-        print("\n" + json.dumps({"section": sect, "result": res}))
+        print("\n" + json.dumps({"section": sect, "result": res}), flush=True)
         return
 
-    def run_section(name: str) -> dict:
+    # Round-4 lesson (BENCH_r04: rc=124, zero output): the driver's wall
+    # budget is finite and a wedged section must never swallow the whole
+    # run. Three rules now: (1) short per-section timeouts (300 s; the
+    # headline gets 600 s — it pays the one cold compile of the scan
+    # graph); (2) the default suite is just headline + best-batch DSC
+    # serving + the joint host codec — decomposition sections run only
+    # under ICLR17C_BENCH_FULL=1; (3) the result line is RE-PRINTED,
+    # flushed, after EVERY section, each time with everything gathered so
+    # far, so whatever the driver captures last is complete up to the
+    # moment its budget ran out.
+    timeout_s = int(os.environ.get("ICLR17C_BENCH_TIMEOUT", "300"))
+    timeout_headline_s = int(os.environ.get("ICLR17C_BENCH_TIMEOUT_HEADLINE", "600"))
+
+    def run_section(name: str, timeout: int) -> dict:
         import subprocess
         import sys
 
@@ -427,12 +441,10 @@ def main():
         try:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                capture_output=True, text=True, env=env, timeout=3600,
+                capture_output=True, text=True, env=env, timeout=timeout,
             )
         except subprocess.TimeoutExpired:
-            # one wedged section (stuck tunnel compile) must not lose the
-            # whole run's JSON line
-            return {"error": f"section {name} timed out after 3600s"}
+            return {"error": f"section {name} timed out after {timeout}s"}
         for line in reversed(p.stdout.strip().splitlines()):
             try:
                 d = json.loads(line)
@@ -443,50 +455,65 @@ def main():
         return {"error": f"section failed rc={p.returncode}",
                 "stderr": p.stderr[-300:]}
 
-    # the orchestrating parent must NOT initialize the TPU client — the
-    # remote chip admits one process at a time and a parent-held client
-    # would deadlock every section subprocess
-    primary = run_section("headline")
-    extra = {"device": primary.pop("device", None)}
-    if os.environ.get("ICLR17C_BENCH_FULL", "1") != "0":
-        extra["balle17_bf16_unblocked"] = run_section("balle17_bf16_unblocked")
-        extra["balle17_fp32"] = run_section("balle17_fp32")
-        extra["dsc_0031bpp_trainfwd"] = run_section("dsc_0031bpp_trainfwd")
-        serving = run_section("dsc_serving")
-        if "error" in serving:  # keep failure attributed to its section
-            extra["dsc_serving"] = serving
-        else:
-            extra.update(serving)
-        extra["joint_ar"] = run_section("joint_ar")
-        extra["joint_host_codec"] = run_section("joint_host_codec")
-    extra["balle17_bf16"] = {k: v for k, v in primary.items() if k != "mpix_s"}
-
-    if "mpix_s" not in primary:
-        # headline section died — still emit a parseable line with the error
-        extra["headline_error"] = primary
-        primary = {"mpix_s": 0.0, "batch": 128}
-
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
-    vs = 1.0
+    base = {}
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)
-        if base.get("batch") == primary["batch"] and base.get("storage") == "bfloat16":
-            vs = primary["mpix_s"] / base["value"] if base.get("value") else 1.0
 
-    print(
-        json.dumps(
-            {
-                "metric": "balle17_kodak768x512_encode_decode_throughput",
-                "value": primary["mpix_s"],
-                "unit": "Mpixels/s/chip",
-                "vs_baseline": round(vs, 4),
-                "batch": primary["batch"],
-                "storage_dtype": "bfloat16",
-                "extra": extra,
-            }
+    def emit(primary: dict, extra: dict) -> None:
+        vs = 1.0
+        if base.get("batch") == primary.get("batch") and base.get("storage") == "bfloat16":
+            vs = primary["mpix_s"] / base["value"] if base.get("value") else 1.0
+        print(
+            json.dumps(
+                {
+                    "metric": "balle17_kodak768x512_encode_decode_throughput",
+                    "value": primary.get("mpix_s", 0.0),
+                    "unit": "Mpixels/s/chip",
+                    "vs_baseline": round(vs, 4),
+                    "batch": primary.get("batch", 128),
+                    "storage_dtype": "bfloat16",
+                    "extra": extra,
+                }
+            ),
+            flush=True,
         )
+
+    # the orchestrating parent must NOT initialize the TPU client — the
+    # remote chip admits one process at a time and a parent-held client
+    # would deadlock every section subprocess
+    primary = run_section("headline", timeout_headline_s)
+    extra = {"device": primary.pop("device", None)}
+    extra["balle17_bf16"] = {k: v for k, v in primary.items() if k != "mpix_s"}
+    if "mpix_s" not in primary:
+        extra["headline_error"] = primary
+        primary = {"mpix_s": 0.0, "batch": 128}
+    emit(primary, extra)
+
+    full = os.environ.get("ICLR17C_BENCH_FULL", "0") == "1"
+    plan = (
+        [
+            ("balle17_bf16_unblocked", "balle17_bf16_unblocked"),
+            ("balle17_fp32", "balle17_fp32"),
+            ("dsc_0031bpp_trainfwd", "dsc_0031bpp_trainfwd"),
+            ("dsc_serving", None),
+            ("joint_ar", "joint_ar"),
+            ("joint_host_codec", "joint_host_codec"),
+        ]
+        if full
+        else [
+            ("dsc_serving_b16", None),
+            ("joint_host_codec", "joint_host_codec"),
+        ]
     )
+    for name, key in plan:
+        res = run_section(name, timeout_s)
+        if key is None and "error" not in res:
+            extra.update(res)  # serving sections return {dsc_encode, dsc_decode, ...}
+        else:
+            extra[key or name] = res
+        emit(primary, extra)
 
 
 if __name__ == "__main__":

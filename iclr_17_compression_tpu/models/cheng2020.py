@@ -307,6 +307,17 @@ class _HostARContext:
         ]
         self.off_r = np.array([o[0] for o in offs], np.int64)
         self.off_c = np.array([o[1] for o in offs], np.int64)
+        # Native C++ driver (coding/src/ar_ctx.cc): same math, scratch
+        # allocated once, BLAS called without numpy temporaries — ~4× on the
+        # Kodak mu/sigma pass. None → numpy fallback (ICLR17C_AR_HOST=numpy
+        # forces it). Encoder and decoder construct identical contexts, so
+        # whichever backend loads, both sides share it bit-exactly.
+        from ..coding.ar_native import NativeAR
+
+        self._native = NativeAR.create(
+            self.w_taps, self.w0_c, self.ep[1], self.ep[2],
+            self.off_r, self.off_c, m,
+        )
 
     def prep(self, hyper: np.ndarray) -> np.ndarray:
         """Per-image precompute: conv0's hyper contribution + both biases,
@@ -332,6 +343,8 @@ class _HostARContext:
         padded to a multiple of 16 (padded lanes gather pixel (0,0) and are
         sliced off — a few % extra FLOPs for a ~3× wall-clock win), and all
         12 context taps go through one gather + one (P,12M)@(12M,2M) GEMM."""
+        if self._native is not None:
+            return self._native.mu_sigma(y_hat_pad, base, ii, jj, scale_bound)
         m = self.m
         p_n = ii.shape[0]
         p_pad = -(-p_n // 16) * 16

@@ -366,6 +366,14 @@ def main():
     np.random.seed(cfg.seed)
     apply_debug_flags(debug_nans=cfg.debug_nans)
 
+    # Snapshot the resolved config into the run dir: analysis tools read the
+    # loss/model from here instead of inferring them from the run's name
+    # (round-4 advisor: a dir-name convention silently mis-series'd runs).
+    save_dir = os.path.join(cfg.save_root, args.name)
+    os.makedirs(save_dir, exist_ok=True)
+    with open(os.path.join(save_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
     from .trainers import TRAINERS
 
     if cfg.model in TRAINERS:

@@ -36,6 +36,7 @@ import optax
 from ..data import (
     FIFEnhanceDataset,
     StereoKittiDataset,
+    StereoPairDataset,
     StereoPassrDataset,
     batch_iterator,
 )
@@ -143,6 +144,18 @@ def _load_frozen(model, rng, example_args, pretrain: str, **init_kw):
 
 
 def _kitti(cfg: TrainConfig, multiple: int = 32):
+    """Stereo source for the aux trainers. Historically KITTI-layout only
+    (the reference hardcodes KITTI in each trainer script); now honors
+    ``cfg.dataset == "pairs"`` like the main DSC loop so the same left/right
+    corpus that trained the flagship can drive the aux stages (e.g. the
+    residual reg stage trains on top of the frozen flagship checkpoint and
+    must see the same data distribution)."""
+    if cfg.dataset == "pairs":
+        left, right = cfg.train_dir.split(",")
+        crop = (cfg.image_size // multiple) * multiple
+        return StereoPairDataset(
+            left, right, crop=(crop, crop), multiple=multiple, seed=cfg.seed
+        )
     return StereoKittiDataset(
         cfg.train_dir.split(","), train=True, seed=cfg.seed, multiple=multiple
     )

@@ -28,6 +28,36 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: integration-scale test (whole training loops / CLI runs); "
+        "excluded by default, enabled with --slow or ICLR17C_SLOW_TESTS=1",
+    )
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="also run the slow integration tier",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two test tiers (round-4 review: the full suite outgrew a 2-core
+    review budget at >40 min). Fast tier = default; slow tier = the
+    end-to-end training/CLI integration tests, run with ``--slow`` or
+    ``ICLR17C_SLOW_TESTS=1``."""
+    if config.getoption("--slow") or os.environ.get("ICLR17C_SLOW_TESTS") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: pass --slow or set ICLR17C_SLOW_TESTS=1"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)

@@ -86,6 +86,7 @@ def main(ckpt_dirs):
         files = [os.path.basename(p) for p in _list_images(EVAL_DIR)]
         pt = {
             "name": name,
+            "dir": d,
             "ckpt": os.path.basename(ck),
             "bpp_estimated": est["bpp"],
             "bpp_rans": res["bpp"],
@@ -118,11 +119,21 @@ def main(ckpt_dirs):
     with open(os.path.join(OUT_DIR, "rd_points.json"), "w") as f:
         json.dump(payload, f, indent=2)
 
-    # MS-SSIM-distortion-trained runs (dir convention msssim<lambda>) get
-    # their own series — they trade PSNR for MS-SSIM by construction, so
-    # folding them into the MSE-trained curve would kink it.
-    mse_pts = [p for p in ours if not p["name"].startswith("msssim")]
-    ms_pts = [p for p in ours if p["name"].startswith("msssim")]
+    # MS-SSIM-distortion-trained runs get their own series — they trade PSNR
+    # for MS-SSIM by construction, so folding them into the MSE-trained
+    # curve would kink it. The loss type is read from the run dir's
+    # config.json snapshot (written by the training CLI); the dir-name
+    # convention msssim<lambda> is only the fallback for pre-snapshot runs
+    # (round-4 advisor finding).
+    def _is_msssim_run(p):
+        cfg_path = os.path.join(p["dir"], "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                return json.load(f).get("loss") == "msssim"
+        return p["name"].startswith("msssim")
+
+    mse_pts = [p for p in ours if not _is_msssim_run(p)]
+    ms_pts = [p for p in ours if _is_msssim_run(p)]
 
     def _series(metric):
         out = {"JPEG (4:2:0)": [(p["bpp"], p[metric]) for p in jpeg]}
