@@ -121,3 +121,30 @@ def test_bitstream_round_trip_exact(model_and_params):
     # decode determinism
     recon2 = decompress(model, params, comp)
     np.testing.assert_array_equal(recon, recon2)
+
+
+def test_native_ar_context_matches_numpy(model_and_params):
+    """The C++ AR context driver (coding/src/ar_ctx.cc) must agree with the
+    numpy reference implementation front by front — encoder/decoder stream
+    consistency rests on both sides sharing whichever backend loaded."""
+    from iclr_17_compression_tpu.models.cheng2020 import _HostARContext, _wavefronts
+
+    model, params, _ = model_and_params
+    host = _HostARContext(params)
+    if host._native is None:
+        pytest.skip("native AR driver unavailable (BLAS not found)")
+
+    m = model.n
+    h, w = 8, 12
+    pad = host.kh // 2
+    rng = np.random.default_rng(0)
+    y_hat_pad = rng.normal(0, 2.5, (h + 2 * pad, w + 2 * pad, m)).astype(np.float32)
+    base = host.prep(rng.normal(0, 1.0, (h, w, 2 * m)).astype(np.float32))
+    for ii, jj in _wavefronts(h, w):
+        mu_n, sg_n = host._native.mu_sigma(y_hat_pad, base, ii, jj, 0.11)
+        native, host._native = host._native, None
+        mu_p, sg_p = host.mu_sigma_batch(y_hat_pad, base, ii, jj, 0.11)
+        host._native = native
+        np.testing.assert_allclose(mu_n, mu_p, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(sg_n, sg_p, rtol=2e-4, atol=2e-4)
+        assert np.all(sg_n >= 0.11)

@@ -227,6 +227,82 @@ def make_stereo_eval(root, size=(320, 384)):
     print("stereo_eval:", len(os.listdir(out_l)), "pairs", size)
 
 
+def _blob_scene(rng, n=512):
+    """Second-domain texture family: soft Gaussian 'bokeh' blobs + hard
+    gratings over a smooth ramp — spectrally unlike the 1/f textures the
+    training pairs were built from (flat spectrum gratings, isolated
+    low-frequency bumps)."""
+    yy, xx = np.mgrid[0:n, 0:n] / n
+    img = np.zeros((n, n, 3))
+    g0 = rng.uniform(0, 1, 3)
+    g1 = rng.uniform(0, 1, 3)
+    img += g0 + (g1 - g0) * (rng.uniform(-1, 1) * yy + rng.uniform(-1, 1) * xx)[..., None] * 0.5
+    for _ in range(rng.integers(8, 20)):
+        cy, cx = rng.uniform(0, 1, 2)
+        s = rng.uniform(0.01, 0.12)
+        blob = np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s)))
+        img += blob[..., None] * rng.uniform(-0.6, 0.6, 3)
+    # one grating patch: high-frequency structure with a flat spectrum line
+    th = rng.uniform(0, np.pi)
+    freq = rng.uniform(20, 70)
+    grating = 0.5 + 0.5 * np.sign(np.sin(2 * np.pi * freq * (yy * np.sin(th) + xx * np.cos(th))))
+    y0, x0 = rng.integers(0, n // 2, 2)
+    hgt, wdt = rng.integers(n // 5, n // 2, 2)
+    img[y0:y0 + hgt, x0:x0 + wdt] = (
+        0.55 * img[y0:y0 + hgt, x0:x0 + wdt] + 0.45 * grating[y0:y0 + hgt, x0:x0 + wdt, None]
+    )
+    lo, hi = img.min(), img.max()
+    return ((img - lo) / (hi - lo + 1e-9) * 255).astype(np.uint8)
+
+
+def _shift_pair_planes(a, rng):
+    """Second-domain disparity family: piecewise-constant depth PLANES
+    (block disparities 24-48 px with hard discontinuities), a small
+    uncorrected VERTICAL parallax, and stronger photometric mismatch with a
+    per-eye gamma — the statistics of casually captured phone stereo
+    (HoloPix-like) rather than the smooth sinusoidal warp of the training
+    distribution."""
+    h, w = a.shape[:2]
+    n_planes = rng.integers(2, 5)
+    edges = np.sort(rng.integers(h // 6, h - h // 6, n_planes - 1)) if n_planes > 1 else np.array([], int)
+    disp_vals = rng.integers(24, 48, n_planes)
+    disp = np.empty(h, int)
+    start = 0
+    for e, d in zip(list(edges) + [h], disp_vals):
+        disp[start:e] = d
+        start = e
+    vshift = int(rng.integers(-2, 3))
+    rows = np.clip(np.arange(h) + vshift, 0, h - 1)
+    cols = np.clip(np.arange(w)[None, :] + disp[:, None], 0, w - 1)
+    b = a[rows[:, None], cols]
+    gamma = rng.uniform(0.85, 1.2)
+    b = np.clip(b, 0, 1) ** gamma
+    return np.clip(b * rng.uniform(0.85, 1.15) + rng.uniform(-0.06, 0.06), 0, 1)
+
+
+def make_stereo_eval2(root, size=(320, 384)):
+    """24 SECOND-DOMAIN stereo pairs (the R_D_HoloPix.png analog, reference
+    NewTests/test_new_model_reconAndSimilarity.py:134): both the content
+    family (_blob_scene) and the stereo geometry/photometry
+    (_shift_pair_planes) differ from the training distribution, so an eval
+    here measures whether the trained SI gain survives off-distribution."""
+    rng = np.random.default_rng(77)
+    th, tw = size
+    out_l = os.path.join(root, "stereo_eval2", "left")
+    out_r = os.path.join(root, "stereo_eval2", "right")
+    os.makedirs(out_l, exist_ok=True)
+    os.makedirs(out_r, exist_ok=True)
+    for k in range(24):
+        a = _blob_scene(rng).astype(np.float32) / 255.0
+        h, w = a.shape[:2]
+        y0, x0 = rng.integers(0, h - th), rng.integers(0, w - tw)
+        a = a[y0:y0 + th, x0:x0 + tw]
+        b = _shift_pair_planes(a, rng)
+        Image.fromarray((a * 255).astype(np.uint8)).save(f"{out_l}/{k:04d}.png")
+        Image.fromarray((b * 255).astype(np.uint8)).save(f"{out_r}/{k:04d}.png")
+    print("stereo_eval2:", len(os.listdir(out_l)), "pairs", size)
+
+
 def make_stereo(root):
     rng = np.random.default_rng(3)
     train = os.path.join(root, "rd_data", "train")
@@ -258,3 +334,4 @@ if __name__ == "__main__":
     make_stereo(root)
     make_eval24(root)
     make_stereo_eval(root)
+    make_stereo_eval2(root)

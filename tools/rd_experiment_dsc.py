@@ -37,6 +37,10 @@ import numpy as np
 EVAL_LEFT = os.environ.get("ICLR17C_DSC_EVAL_LEFT", "/tmp/stereo_eval/left")
 EVAL_RIGHT = os.environ.get("ICLR17C_DSC_EVAL_RIGHT", "/tmp/stereo_eval/right")
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "results")
+# Output basename: rd_points_<STEM>.json / rd_plot_<STEM>_{psnr,msssim}.png.
+# Override (e.g. STEM=dsc_domain2) for the second-domain generalization eval
+# so it lands beside, not over, the primary eval (R_D_HoloPix.png analog).
+STEM = os.environ.get("ICLR17C_DSC_OUT_STEM", "dsc")
 
 
 def load_dsc_params(model, ckpt: str):
@@ -165,7 +169,7 @@ def main(argv):
             "rate (the DSC claim is the SI-assisted vs code-only gap)."
         ),
     }
-    with open(os.path.join(OUT_DIR, "rd_points_dsc.json"), "w") as f:
+    with open(os.path.join(OUT_DIR, f"rd_points_{STEM}.json"), "w") as f:
         json.dump(payload, f, indent=2)
 
     si_pts = [(p["bpp_rans"], p["si_assisted"]["psnr"]) for p in points]
@@ -177,7 +181,7 @@ def main(argv):
             "DSC code-only (same rate)": co_pts,
             "SI-only (0 bpp)": [(0.0, p["si_only_0bpp"]["psnr"]) for p in points],
         },
-        os.path.join(OUT_DIR, "rd_plot_dsc_psnr.png"),
+        os.path.join(OUT_DIR, f"rd_plot_{STEM}_psnr.png"),
         ylabel="PSNR (dB)",
         title="DSC stereo codec (TPU framework) — SI gain vs JPEG",
     )
@@ -188,7 +192,7 @@ def main(argv):
             "DSC code-only (same rate)": [(p["bpp_rans"], p["code_only"]["ms_ssim"]) for p in points],
             "SI-only (0 bpp)": [(0.0, p["si_only_0bpp"]["ms_ssim"]) for p in points],
         },
-        os.path.join(OUT_DIR, "rd_plot_dsc_msssim.png"),
+        os.path.join(OUT_DIR, f"rd_plot_{STEM}_msssim.png"),
         ylabel="MS-SSIM",
         title="DSC stereo codec (TPU framework) — SI gain vs JPEG",
     )
