@@ -41,7 +41,7 @@ from ..data import (
     batch_iterator,
 )
 from ..ops.metrics import ms_ssim
-from .checkpoint import load_params, save_train_state
+from .checkpoint import save_train_state
 from .config import TrainConfig
 from .schedules import ReduceLROnPlateau
 from .state import TrainState
@@ -134,11 +134,21 @@ def _state_with_lr(model, rng, example_args, cfg, **init_kw) -> TrainState:
 
 
 def _load_frozen(model, rng, example_args, pretrain: str, **init_kw):
-    """Init a frozen model; load a checkpoint over it when given."""
+    """Init a frozen model; load a checkpoint over it when given.
+
+    Accepts either a bare-params checkpoint (save_params) or a full
+    TrainState checkpoint (save_train_state — e.g. the flagship's
+    best_train.ckpt that the reg stage freezes), extracting the params
+    subtree from the latter."""
+    from flax import serialization
+
     variables = model.init({"params": rng, "quant": rng}, *example_args, **init_kw)
     params = variables["params"] if "params" in variables else variables
     if pretrain:
-        params = load_params(params, pretrain)
+        with open(pretrain, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        sub = raw.get("params", raw) if isinstance(raw, dict) else raw
+        params = serialization.from_state_dict(params, sub)
         logger.info("loaded frozen pretrain %s", pretrain)
     return params
 

@@ -5,6 +5,7 @@ outputs from the SAME parameters — the blocked graph is a pure
 reinterpretation, not a different model (BASELINE.md round-4: conv1 lane
 packing is the named headline-perf fix)."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -75,6 +76,7 @@ def test_balle17_blocked_pipeline_parity(key, rng):
     np.testing.assert_allclose(float(got["bpp"]), float(ref["bpp"]), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_blocked_pipeline_trains(key, rng):
     """Gradients flow through the trace-time weight reinterpretation: one
     train step on the blocked graph updates conv1/deconv3's CANONICAL

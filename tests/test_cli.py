@@ -71,6 +71,7 @@ def _read_metrics(save_root, name, keys):
     return np.asarray(rows)
 
 
+@pytest.mark.slow
 class TestShardedTraining:
     """NOTE on assertions: parameters cannot be compared across meshes —
     Adam's first steps are sign-like (update ≈ ±lr regardless of gradient
@@ -130,6 +131,7 @@ class TestShardedTraining:
         np.testing.assert_allclose(m, s, rtol=2e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestResume:
     def test_kill_and_resume_bit_exact(self, tmp_path):
         """2 steps + resume for 2 more ≡ 4 straight steps (params identical).

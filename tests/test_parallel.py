@@ -47,6 +47,7 @@ def test_sharded_conv_matches_single_device(key):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__
 

@@ -59,24 +59,28 @@ def test_two_steps(kitti_root):
     _assert_ckpt("ts")
 
 
+@pytest.mark.slow
 def test_reg_stage(kitti_root):
     state = trainers.train_reg_stage(_cfg(kitti_root), "reg")
     assert int(state.step) == 2
     _assert_ckpt("reg")
 
 
+@pytest.mark.slow
 def test_decoder_only(kitti_root):
     state = trainers.train_decoder_only(_cfg(kitti_root), "dec")
     assert int(state.step) == 2
     _assert_ckpt("dec")
 
 
+@pytest.mark.slow
 def test_att_exp(kitti_root):
     state = trainers.train_att_exp(_cfg(kitti_root), "attexp")
     assert int(state.step) == 2
     _assert_ckpt("attexp")
 
 
+@pytest.mark.slow
 def test_att_block(tmp_path, rng):
     # latent patch grid needs >= 9x9 latent pixels -> >= 144px images
     root = str(tmp_path / "kitti_big")
