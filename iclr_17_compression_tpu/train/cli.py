@@ -228,7 +228,7 @@ def train_dsc(cfg: TrainConfig, name: str, pretrain: str = "", resume: str = "")
     from .state import TrainState
     from .trainers import _injectable_optimizer, set_lr
 
-    plateau = ReduceLROnPlateau(base_lr=cfg.lr_base)
+    plateau = ReduceLROnPlateau(base_lr=cfg.lr_base, patience=cfg.plateau_patience)
     # LR lives in the opt_state (inject_hyperparams) so the plateau scheduler
     # can change it between jitted steps — a schedule closure over a Python
     # cell is baked in as a trace-time constant and never updates.

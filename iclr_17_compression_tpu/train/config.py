@@ -28,6 +28,12 @@ class TrainConfig:
     lr_decay_interval: int = 2200000
     warmup_step: int = 0
     grad_clip: float = 5.0
+    # ReduceLROnPlateau patience in EPOCHS (DSC/aux loops). The reference's
+    # torch default (10) assumes KITTI-sized epochs (~500 steps); on a small
+    # corpus a 13-step epoch makes 10-epoch patience fire after ~130 steps
+    # and collapse the LR before the code path has trained — scale patience
+    # so patience×steps_per_epoch matches the reference's ~5000-step window.
+    plateau_patience: int = 10
     image_size: int = 256
     seed: int = 1234
 

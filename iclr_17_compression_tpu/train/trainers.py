@@ -87,7 +87,7 @@ def _run_epochs(
     and periodic full-state checkpoints."""
     save_dir = os.path.join(cfg.save_root, name)
     os.makedirs(save_dir, exist_ok=True)
-    plateau = ReduceLROnPlateau(base_lr=cfg.lr_base)
+    plateau = ReduceLROnPlateau(base_lr=cfg.lr_base, patience=cfg.plateau_patience)
 
     best_loss = float("inf")
     lr = cfg.lr_base
