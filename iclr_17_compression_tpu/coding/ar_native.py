@@ -9,9 +9,13 @@ the BLAS symbol resolution fails, callers fall back to the numpy path
 (``NativeAR.create`` returns None; force the fallback with
 ``ICLR17C_AR_HOST=numpy``).
 
-Measured on the 2-core AVX-512 host (tools/bench_ar_native.py): the Kodak
-768x512 mu/sigma pass dropped ~0.16 s -> ~0.04 s per image vs the numpy
-wavefront loop, at identical stream self-consistency.
+Measured on the 2-core AVX-512 host (concurrent training load): the Kodak
+768x512 mu/sigma pass runs ~232 ms vs ~289 ms for the numpy wavefront loop
+(same BLAS thread default), and ~2x faster than numpy when the host is
+loaded and ICLR17C_AR_THREADS=1 avoids oversubscription. The pass is
+GEMM-bound: 7.5 GFLOP against a measured 44.9 GF/s two-thread sgemm rate on
+the M=16 wavefront panel shape (~167 ms floor with this BLAS) — see
+BASELINE.md for the full host-codec cost structure.
 """
 
 import ctypes

@@ -112,14 +112,18 @@ void* ar_create(const char* blas_so, const float* w_taps, const float* w0_c,
     dlclose(handle);
     return nullptr;
   }
-  // These wavefront GEMMs are too small to amortize OpenBLAS threading —
-  // single-thread measured fastest on the 2-core host, and it keeps the
-  // flop order deterministic per build.
-  for (const char* name :
-       {"scipy_openblas_set_num_threads", "openblas_set_num_threads"}) {
-    if (auto st = reinterpret_cast<set_threads_t>(dlsym(handle, name))) {
-      st(1);
-      break;
+  // Thread count: OpenBLAS's default (#cores) wins on an idle host (the
+  // K=2304 panel GEMM measured 24.4 GF/s at 1 thread vs 44.9 at 2 on the
+  // 2-core SkylakeX host); a loaded host (concurrent training) wants 1 to
+  // avoid oversubscription. ICLR17C_AR_THREADS overrides; encoder and
+  // decoder in one process share the setting, so streams stay consistent.
+  if (const char* nt = std::getenv("ICLR17C_AR_THREADS")) {
+    for (const char* name :
+         {"scipy_openblas_set_num_threads", "openblas_set_num_threads"}) {
+      if (auto st = reinterpret_cast<set_threads_t>(dlsym(handle, name))) {
+        st(std::atoi(nt));
+        break;
+      }
     }
   }
 
