@@ -406,7 +406,7 @@ def main():
         "headline_io4_only": lambda: bench_balle17(jnp.bfloat16, io_block=4),
         "headline_scan4_only": lambda: bench_balle17(jnp.bfloat16, scan=4),
         "headline_scan8": lambda: bench_balle17(jnp.bfloat16, io_block=4, scan=8),
-        "headline_scan16": lambda: bench_balle17(jnp.bfloat16, io_block=4, scan=16),
+        "headline_scan12": lambda: bench_balle17(jnp.bfloat16, io_block=4, scan=12),
         "balle17_bf16_unblocked": lambda: bench_balle17(jnp.bfloat16),
         "balle17_fp32": lambda: bench_balle17(jnp.float32),
         "dsc_0031bpp_trainfwd": bench_dsc,

@@ -183,6 +183,39 @@ def make_eval24(root):
     print("eval24:", len(os.listdir(ev)), "images")
 
 
+def _paste_novel(a, rng, k_lo=2, k_hi=6):
+    """Paste left-eye-ONLY content (noise/flat/gradient patches) into ``a``
+    AFTER the right eye was derived from it — the synthetic analog of the
+    disocclusions and view-dependent content real stereo (KITTI/HoloPix)
+    always has. Without this the right eye is a pure warp of the left, the
+    side-information path can reconstruct everything, and DSC training
+    collapses the transmitted code to zero (measured: a 5.3k-step flagship
+    on pure-warp pairs had SI-assisted PSNR == SI-only PSNR — the code
+    carried nothing). Returns a new array; ``a`` is not modified."""
+    h, w = a.shape[:2]
+    out = a.copy()
+    for _ in range(rng.integers(k_lo, k_hi)):
+        ph = int(rng.integers(h // 12, h // 4))
+        pw = int(rng.integers(w // 12, w // 4))
+        y0 = int(rng.integers(0, h - ph))
+        x0 = int(rng.integers(0, w - pw))
+        kind = rng.integers(0, 3)
+        if kind == 0:  # flat color block
+            patch = np.ones((ph, pw, 3)) * rng.uniform(0, 1, 3)
+        elif kind == 1:  # smooth gradient patch
+            yy, xx = np.mgrid[0:ph, 0:pw]
+            g = (yy / max(ph - 1, 1) * rng.uniform(-1, 1)
+                 + xx / max(pw - 1, 1) * rng.uniform(-1, 1))
+            g = (g - g.min()) / (np.ptp(g) + 1e-9)
+            c0, c1 = rng.uniform(0, 1, 3), rng.uniform(0, 1, 3)
+            patch = c0 + (c1 - c0) * g[..., None]
+        else:  # textured noise patch (high-frequency novel detail)
+            patch = rng.uniform(0, 1, (ph, pw, 3))
+            patch = 0.5 * patch + 0.5 * rng.uniform(0, 1, 3)
+        out[y0:y0 + ph, x0:x0 + pw] = np.clip(patch, 0, 1)
+    return out
+
+
 def _shift_pair(a, rng):
     """Right eye = row-wise smooth-disparity shift + photometric jitter
     (same warp family as the training pairs, fresh rng)."""
@@ -222,6 +255,7 @@ def make_stereo_eval(root, size=(320, 384)):
         y0, x0 = (h - th) // 2, (w - tw) // 2
         a = a[y0:y0 + th, x0:x0 + tw]
         b = _shift_pair(a, rng)
+        a = _paste_novel(a, rng)
         Image.fromarray((a * 255).astype(np.uint8)).save(f"{out_l}/{k:04d}.png")
         Image.fromarray((b * 255).astype(np.uint8)).save(f"{out_r}/{k:04d}.png")
     print("stereo_eval:", len(os.listdir(out_l)), "pairs", size)
@@ -298,6 +332,7 @@ def make_stereo_eval2(root, size=(320, 384)):
         y0, x0 = rng.integers(0, h - th), rng.integers(0, w - tw)
         a = a[y0:y0 + th, x0:x0 + tw]
         b = _shift_pair_planes(a, rng)
+        a = _paste_novel(a, rng)
         Image.fromarray((a * 255).astype(np.uint8)).save(f"{out_l}/{k:04d}.png")
         Image.fromarray((b * 255).astype(np.uint8)).save(f"{out_r}/{k:04d}.png")
     print("stereo_eval2:", len(os.listdir(out_l)), "pairs", size)
@@ -322,7 +357,8 @@ def make_stereo(root):
             cols = np.clip(np.arange(w)[None, :] + disp, 0, w - 1).astype(int)
             b = a[np.arange(h)[:, None], cols]
             b = np.clip(b * rng.uniform(0.92, 1.08) + rng.uniform(-0.03, 0.03), 0, 1)
-            Image.fromarray((a * 255).astype(np.uint8)).save(f"{out_l}/{k:04d}.png")
+            a_novel = _paste_novel(a, rng)
+            Image.fromarray((a_novel * 255).astype(np.uint8)).save(f"{out_l}/{k:04d}.png")
             Image.fromarray((b * 255).astype(np.uint8)).save(f"{out_r}/{k:04d}.png")
             k += 1
     print("stereo_data:", k, "pairs")
