@@ -399,7 +399,7 @@ def main():
     # (twice, at the same spot). Process exit is the only reliable release;
     # compiles reload from the persistent disk cache.
     sections = {
-        "headline": lambda: bench_balle17(jnp.bfloat16, io_block=4, scan=4),
+        "headline": lambda: bench_balle17(jnp.bfloat16, io_block=4, scan=8),
         # decomposition runs (on demand via ICLR17C_BENCH_SECTION, not part
         # of the default suite): attribute the headline gain between the
         # edge-conv blocking and the dispatch-amortizing scan
