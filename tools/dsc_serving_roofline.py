@@ -16,7 +16,9 @@ and compare with the measured rate. Prints one JSON line; run on the TPU.
 
 import json
 import os
+import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("ICLR17C_PRECISION", "default")
 
 import jax
