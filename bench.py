@@ -434,6 +434,10 @@ def main():
     # moment its budget ran out.
     timeout_s = int(os.environ.get("ICLR17C_BENCH_TIMEOUT", "300"))
     timeout_headline_s = int(os.environ.get("ICLR17C_BENCH_TIMEOUT_HEADLINE", "600"))
+    # b=16 serving compiles two graphs through the tunnel and measured
+    # ~295 s under a loaded host (timed out at the flat 300 s cap once);
+    # worst-case total stays bounded: 600 + 420 + 300 ≈ 22 min.
+    timeout_by_name = {"dsc_serving_b16": 420}
 
     def run_section(name: str, timeout: int) -> dict:
         import subprocess
@@ -510,7 +514,7 @@ def main():
         ]
     )
     for name, key in plan:
-        res = run_section(name, timeout_s)
+        res = run_section(name, timeout_by_name.get(name, timeout_s))
         if key is None and "error" not in res:
             extra.update(res)  # serving sections return {dsc_encode, dsc_decode, ...}
         else:

@@ -56,8 +56,20 @@ def save_params(params, directory: str, step: int, prefix: str = "iter") -> str:
 
 
 def load_params(template, path: str):
+    """Restore ``template`` (a ``model.init`` variables dict) from any
+    msgpack layout the framework writes: an exact variables dict, a rich
+    TrainState dict (extra keys like opt_state ignored), or a **bare params
+    subtree** — the layout of the committed ``results/ckpts/*_params.msgpack``
+    archives (tools/export_params.py), which outlive the gitignored run
+    dirs and must stay loadable by every CLI."""
     with open(path, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        raw = serialization.msgpack_restore(f.read())
+    tmpl_state = serialization.to_state_dict(template)
+    if isinstance(raw, dict) and isinstance(tmpl_state, dict):
+        if "params" in tmpl_state and "params" not in raw:
+            raw = {"params": raw}
+        raw = {k: v for k, v in raw.items() if k in tmpl_state}
+    return serialization.from_state_dict(template, raw)
 
 
 def load_params_partial(template, path: str):
